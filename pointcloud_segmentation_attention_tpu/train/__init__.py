@@ -1,0 +1,17 @@
+"""Training: states, steps, losses, metrics, schedules."""
+from pointcloud_segmentation_attention_tpu.train import losses, metrics, schedules
+from pointcloud_segmentation_attention_tpu.train.train_state import TrainState, create_state
+from pointcloud_segmentation_attention_tpu.train.steps import (
+    SCANNET_CLASS_WEIGHTS,
+    make_sample_weights,
+    seg_eval_step,
+    seg_predict_step,
+    seg_train_step,
+)
+
+__all__ = [
+    "losses", "metrics", "schedules",
+    "TrainState", "create_state",
+    "SCANNET_CLASS_WEIGHTS", "make_sample_weights",
+    "seg_train_step", "seg_eval_step", "seg_predict_step",
+]

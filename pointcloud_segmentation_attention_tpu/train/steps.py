@@ -1,0 +1,134 @@
+"""Jitted train / eval steps for the ScanNet segmentation family.
+
+This is the TPU-native replacement for the reference's session loop
+(``attention_points/train.py:288-388``): one fused XLA program per step doing
+forward, weighted CE, backward, Adam update, BN-stat EMA, and the confusion-
+matrix metric update — no Python<->runtime crossings inside the step, no
+device<->host transfers (the reference crossed twice per FP module).
+
+Data parallelism: the functions are pure, so the caller jits them with
+``NamedSharding``s over a mesh (see ``parallel/``) — the batch axis shards,
+params/state replicate, and XLA inserts the gradient all-reduce.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pointcloud_segmentation_attention_tpu.train import losses as losses_lib
+from pointcloud_segmentation_attention_tpu.train import metrics as metrics_lib
+from pointcloud_segmentation_attention_tpu.train import schedules
+from pointcloud_segmentation_attention_tpu.train.train_state import TrainState
+
+# ScanNet class weights 1/log(1.2 + freq), class 0 = 0
+# (ref attention_points/train.py:20-24 / compute_class_weights.py:41-58).
+SCANNET_CLASS_WEIGHTS = (
+    0.0, 2.743064592944318, 3.0830506790927132, 4.785754459526457,
+    4.9963745147506184, 4.372710774561782, 5.039124880965811, 4.86451825464344,
+    4.717751595568025, 4.809412839311939, 5.052097251455304, 5.389129668645318,
+    5.390614085649042, 5.127458225110977, 5.086056870814752, 5.3831185190895265,
+    5.422684124268539, 5.422955391988761, 5.433705358072363, 5.417426773812747,
+    4.870172044153657,
+)
+
+
+def make_sample_weights(labels, inner_mask, class_weights=None):
+    """weight = class_weight[label] * mask (ref train.py:106-108)."""
+    cw = jnp.asarray(class_weights if class_weights is not None else SCANNET_CLASS_WEIGHTS,
+                     jnp.float32)
+    return cw[labels] * inner_mask.astype(jnp.float32)
+
+
+def seg_train_step(
+    state: TrainState,
+    batch: dict,
+    dropout_rng,
+    *,
+    bn_schedule: Callable = schedules.scannet_bn_momentum,
+    num_classes: int = 21,
+):
+    """One training step on a segmentation batch.
+
+    batch: dict with 'points' (B,N,3) f32, 'labels' (B,N) i32,
+    'weights' (B,N) f32 (pre-multiplied class weight x mask), and optional
+    'features' (B,N,K) f32.
+
+    Returns (new_state, metrics) where metrics has scalar 'loss', 'accuracy'
+    and the (C, C) 'confusion' update for streaming mIoU.
+    """
+    bn_momentum = bn_schedule(state.step)
+    rng = jax.random.fold_in(dropout_rng, state.step)
+    features = batch.get("features")
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        logits, mutated = state.apply_fn(
+            variables,
+            batch["points"],
+            features,
+            train=True,
+            bn_momentum=bn_momentum,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        loss = losses_lib.weighted_softmax_cross_entropy(
+            logits, batch["labels"], batch["weights"]
+        )
+        return loss, (logits, mutated["batch_stats"])
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    valid = batch["labels"] > 0
+    confusion = metrics_lib.update_confusion(
+        jnp.zeros((num_classes, num_classes), jnp.float32),
+        batch["labels"], preds, valid,
+    )
+    metrics = {
+        "loss": loss,
+        "accuracy": metrics_lib.accuracy(batch["labels"], preds, valid),
+        "confusion": confusion,
+        "learning_rate": _current_lr(state),
+    }
+    return new_state, metrics
+
+
+def _current_lr(state: TrainState):
+    # optax injected-hyperparam schedules expose lr in opt_state; fall back to
+    # recomputing from the step for plain optimizers.
+    return schedules.scannet_learning_rate(state.step)
+
+
+def seg_eval_step(state: TrainState, batch: dict, *, num_classes: int = 21):
+    """Eval forward pass: loss + confusion update using running BN stats."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    logits = state.apply_fn(
+        variables, batch["points"], batch.get("features"), train=False
+    )
+    loss = losses_lib.weighted_softmax_cross_entropy(
+        logits, batch["labels"], batch["weights"]
+    )
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    valid = batch["labels"] > 0
+    confusion = metrics_lib.update_confusion(
+        jnp.zeros((num_classes, num_classes), jnp.float32),
+        batch["labels"], preds, valid,
+    )
+    return {
+        "loss": loss,
+        "accuracy": metrics_lib.accuracy(batch["labels"], preds, valid),
+        "confusion": confusion,
+        "predictions": preds,
+    }
+
+
+def seg_predict_step(state: TrainState, points, features=None):
+    """Logits for full-scene inference (ref generate_predictions.py:114-141)."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return state.apply_fn(variables, points, features, train=False)

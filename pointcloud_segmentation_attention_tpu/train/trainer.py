@@ -1,0 +1,187 @@
+"""Unified ScanNet trainer.
+
+TPU-native equivalent of ``attention_points/train.py:288-388`` — the
+``train(epochs, batch_size, use_color, use_normal, use_attention,
+attention_single_layer, use_subset, n_epochs_to_val)`` entry point — built on:
+
+- model selection logic mirroring ref :323-330 (features -> features model,
+  attention -> all-attention, single-layer -> wrapper, else baseline),
+- precomputed-chunk replay input (ref precompute_dataset),
+- jitted data-parallel train step over a device mesh (subsumes
+  ``train_multi_gpu.py``),
+- streaming confusion-matrix mIoU with per-eval reset (ref :146-161),
+- best-val-IoU checkpoint retention (ref :268-276).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+
+from pointcloud_segmentation_attention_tpu import models, parallel
+from pointcloud_segmentation_attention_tpu.data import pipeline
+from pointcloud_segmentation_attention_tpu.data.scannet import precompute, read_split
+from pointcloud_segmentation_attention_tpu.train import schedules, steps
+from pointcloud_segmentation_attention_tpu.train.checkpoints import BestKeeper
+from pointcloud_segmentation_attention_tpu.train.metrics import StreamingMeanIoU
+from pointcloud_segmentation_attention_tpu.train.train_state import create_state
+from pointcloud_segmentation_attention_tpu.utils.config import TrainConfig
+from pointcloud_segmentation_attention_tpu.utils.logging import MetricLogger
+from pointcloud_segmentation_attention_tpu.utils.profiler import StepTimer
+
+
+def select_model(config: TrainConfig):
+    """Model dispatch (ref train.py:323-330)."""
+    import jax.numpy as jnp
+
+    kw = dict(num_classes=config.num_classes)
+    if config.compute_dtype == "bfloat16":
+        kw["compute_dtype"] = jnp.bfloat16
+    name = config.model
+    if name == "sem_seg_attention_single_layer":
+        return models.get_model(name, layer_idx=config.attention_single_layer, **kw)
+    return models.get_model(name, **kw)
+
+
+def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
+    """Run training from precomputed chunks; returns summary dict."""
+    rng = jax.random.PRNGKey(config.seed)
+    use_features = config.use_colors or config.use_normals
+    model = select_model(config)
+
+    train_scenes = read_split(config.split_dir, "train")
+    if config.use_subset:
+        train_scenes = train_scenes[: len(train_scenes) // 3]
+    val_scenes = read_split(config.split_dir, "val")
+
+    n_train = len(train_scenes)
+    lr = lambda step: schedules.scannet_learning_rate(
+        step, config.batch_size, n_train
+    )
+    bn = lambda step: schedules.scannet_bn_momentum(
+        step, config.batch_size, n_train
+    )
+    tx = optax.adam(lr)
+
+    # Data: replay precomputed chunks (must exist; precompute CLI produces them).
+    epochs_avail = _precomputed_epochs(config.precompute_dir, train_scenes)
+    train_iter = pipeline.prefetch(
+        pipeline.batched(
+            precompute.replay_train_chunks(
+                config.precompute_dir, epochs_avail, train_scenes,
+                shuffle_seed=config.seed,
+            ),
+            config.batch_size, config.use_colors, config.use_normals,
+        ),
+        depth=4,
+    )
+
+    first = next(train_iter)
+    state = create_state(
+        model, tx, rng,
+        first["points"][:1], first.get("features", [None])[:1] if use_features else None,
+        train=False,
+    )
+
+    mesh = parallel.make_mesh(config.n_devices)
+    train_step = parallel.data_parallel_jit(
+        lambda s, b, r: steps.seg_train_step(s, b, r, bn_schedule=bn,
+                                             num_classes=config.num_classes),
+        mesh, batch_argnums=(1,), donate_argnums=(0,),
+    )
+    eval_step = parallel.data_parallel_jit(
+        lambda s, b: steps.seg_eval_step(s, b, num_classes=config.num_classes),
+        mesh, batch_argnums=(1,), donate_argnums=(),
+    )
+
+    logger = MetricLogger(config.log_dir, "train")
+    best = BestKeeper(config.ckpt_dir)
+    train_miou = StreamingMeanIoU(config.num_classes)
+    timer = StepTimer()
+    dropout_rng = jax.random.fold_in(rng, 999)
+
+    steps_per_epoch = max(1, n_train // config.batch_size)
+    total_steps = max_steps or config.epochs * steps_per_epoch
+    batch = first
+    summary = {}
+    for step_idx in range(total_steps):
+        timer.start()
+        sharded = parallel.shard_batch(batch, mesh)
+        state, m = train_step(state, sharded, dropout_rng)
+        batch = next(train_iter)  # overlap host load with device step
+        train_miou.update_confusion(m["confusion"])
+        timer.stop()
+
+        epoch_end = (step_idx + 1) % steps_per_epoch == 0
+        if epoch_end:
+            epoch = (step_idx + 1) // steps_per_epoch
+            miou, _ = train_miou.result()
+            logger.log(step_idx + 1, {
+                "train_loss": float(m["loss"]),
+                "train_accuracy": float(m["accuracy"]),
+                "train_miou": miou,
+                "learning_rate": float(m["learning_rate"]),
+                "points_per_sec": timer.points_per_sec(
+                    config.batch_size * config.n_points),
+            })
+            train_miou.reset()
+            if epoch % config.n_epochs_to_val == 0:
+                val = evaluate(config, state, eval_step, mesh, val_scenes)
+                logger.log(step_idx + 1, {f"val_{k}": v for k, v in val.items()})
+                if best.maybe_save(state, step_idx + 1, val["miou"]):
+                    summary["best_val_miou"] = val["miou"]
+    logger.close()
+    summary["final_step"] = int(state.step)
+    summary.setdefault("best_val_miou", best.best if best.best > -np.inf else None)
+    return summary
+
+
+def evaluate(config: TrainConfig, state, eval_step, mesh, val_scenes) -> dict:
+    """Full val pass over precomputed val chunks (ref eval_model :221-285)."""
+    miou = StreamingMeanIoU(config.num_classes)
+    losses, accs = [], []
+    it = pipeline.batched(
+        precompute.replay_val_chunks(config.precompute_dir, val_scenes),
+        config.batch_size, config.use_colors, config.use_normals,
+    )
+    for batch in pipeline.prefetch(it):
+        m = eval_step(state, parallel.shard_batch(batch, mesh))
+        miou.update_confusion(m["confusion"])
+        losses.append(float(m["loss"]))
+        accs.append(float(m["accuracy"]))
+    mean_iou, _ = miou.result()
+    return {
+        "miou": mean_iou,
+        "loss": float(np.mean(losses)) if losses else 0.0,
+        "accuracy": float(np.mean(accs)) if accs else 0.0,
+    }
+
+
+def _precomputed_epochs(precompute_dir: str, scenes) -> int:
+    """Count how many precomputed epochs exist for the first scene."""
+    n = 0
+    while os.path.exists(os.path.join(precompute_dir, f"{n}-{scenes[0]}.npz")):
+        n += 1
+    if n == 0:
+        raise FileNotFoundError(
+            f"no precomputed chunks in {precompute_dir}; run "
+            "`python -m pointcloud_segmentation_attention_tpu.data.scannet.precompute_cli`"
+        )
+    return n
+
+
+def main(argv=None):
+    config = TrainConfig.from_args(argv)
+    os.makedirs(config.log_dir, exist_ok=True)
+    with open(os.path.join(config.log_dir, "config.json"), "w") as f:
+        f.write(config.to_json())
+    summary = train(config)
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()

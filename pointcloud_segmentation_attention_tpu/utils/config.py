@@ -1,0 +1,92 @@
+"""Config system: dataclass + JSON + CLI overrides.
+
+The reference had two ad-hoc styles — argparse flags upstream
+(``pointnet2_tensorflow/train.py:26-39``) and hard-coded module constants with
+user-specific paths in the new code (``attention_points/train.py:14-24``).
+Here one dataclass covers the unified trainer, serializable to/from JSON and
+overridable from the command line (``--key=value``).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class TrainConfig:
+    # data
+    data_root: str = "data/scannet"
+    split_dir: str = ""            # defaults to <data_root>/splits
+    precompute_dir: str = ""       # defaults to <data_root>/precomputed
+    n_points: int = 8192
+    use_colors: bool = True
+    use_normals: bool = True
+    use_subset: bool = False       # first third of train scenes (ablation)
+    # model
+    model: str = "sem_seg_features"
+    num_classes: int = 21
+    attention_single_layer: int = -1
+    compute_dtype: str = "float32"  # 'bfloat16' for TPU mixed precision
+    # training
+    epochs: int = 500
+    batch_size: int = 16
+    base_lr: float = 1e-3
+    n_epochs_to_val: int = 4
+    seed: int = 0
+    # io
+    log_dir: str = "logs"
+    ckpt_dir: str = ""             # defaults to <log_dir>/checkpoints
+    # parallelism
+    n_devices: Optional[int] = None  # None = all
+
+    def __post_init__(self):
+        if not self.split_dir:
+            self.split_dir = f"{self.data_root}/splits"
+        if not self.precompute_dir:
+            self.precompute_dir = f"{self.data_root}/precomputed"
+        if not self.ckpt_dir:
+            self.ckpt_dir = f"{self.log_dir}/checkpoints"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TrainConfig":
+        return cls(**json.loads(text))
+
+    @classmethod
+    def from_args(cls, argv=None) -> "TrainConfig":
+        parser = argparse.ArgumentParser(description="TPU-native trainer")
+        parser.add_argument("--config", type=str, default=None,
+                            help="JSON config file to start from")
+        for f in dataclasses.fields(cls):
+            if f.name in ("split_dir", "precompute_dir", "ckpt_dir"):
+                default = ""
+            else:
+                default = f.default
+            t = f.type if isinstance(f.type, type) else str
+            if f.type in (bool, "bool"):
+                parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                                    default=default)
+            elif f.type in (int, "int"):
+                parser.add_argument(f"--{f.name}", type=int, default=default)
+            elif f.type in (float, "float"):
+                parser.add_argument(f"--{f.name}", type=float, default=default)
+            elif f.name == "n_devices":
+                parser.add_argument(f"--{f.name}", type=int, default=None)
+            else:
+                parser.add_argument(f"--{f.name}", type=str, default=default)
+        args = vars(parser.parse_args(argv))
+        base = {}
+        if args.pop("config", None):
+            with open(args["config"]) as fh:
+                base = json.load(fh)
+        base.update({k: v for k, v in args.items() if v is not None and v != ""})
+        # drop empty-string defaults so __post_init__ fills them
+        for k in ("split_dir", "precompute_dir", "ckpt_dir"):
+            if not base.get(k):
+                base.pop(k, None)
+        return cls(**base)

@@ -1,0 +1,169 @@
+"""Tests for eval (benchmark export/IoU, voting, part IoU), checkpoints, viz, config."""
+import os
+
+import numpy as np
+import pytest
+
+from pointcloud_segmentation_attention_tpu import eval as ev
+from pointcloud_segmentation_attention_tpu import viz
+from pointcloud_segmentation_attention_tpu.utils.config import TrainConfig
+from pointcloud_segmentation_attention_tpu.utils.logging import MetricLogger, read_metrics
+
+
+def test_benchmark_export_and_evaluate_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    gt = rng.randint(0, 21, size=500)
+    pred = gt.copy()
+    flip = rng.rand(500) < 0.2
+    pred[flip] = rng.randint(1, 21, size=flip.sum())
+
+    gt_file = str(tmp_path / "scene_gt.txt")
+    pred_file = str(tmp_path / "scene_pred.txt")
+    # GT export keeps 0 as 0; predictions map 0 -> wall (benchmark format).
+    ev.export_ids(gt_file, ev.map_to_nyu40_for_benchmark(gt) * (gt > 0))
+    ev.export_benchmark_txt(pred_file, pred)
+
+    results = ev.evaluate([pred_file], [gt_file], str(tmp_path / "results.txt"))
+    assert 0.0 < results["mean_iou"] <= 1.0
+    assert os.path.exists(tmp_path / "results.txt")
+    # Perfect prediction -> IoU 1.
+    ev.export_benchmark_txt(pred_file, gt)
+    perfect = ev.evaluate([pred_file], [gt_file])
+    assert perfect["mean_iou"] == pytest.approx(1.0)
+
+
+def test_map_to_nyu40_for_benchmark_unlabeled_to_wall():
+    out = ev.map_to_nyu40_for_benchmark(np.array([0, 1, 2, 20]))
+    assert out[0] == 1  # unannotated -> wall, ref generate_predictions.py:50
+    assert out[1] == 1 and out[2] == 2 and out[3] == 39
+
+
+def test_groundtruth_export_from_json(tmp_path):
+    agg = {
+        "segGroups": [
+            {"label": "chair", "segments": [0, 1]},
+            {"label": "floor", "segments": [2]},
+        ]
+    }
+    seg = {"segIndices": [0, 0, 1, 2, 2, 3]}
+    import json
+    agg_file = str(tmp_path / "agg.json")
+    seg_file = str(tmp_path / "segs.json")
+    json.dump(agg, open(agg_file, "w"))
+    json.dump(seg, open(seg_file, "w"))
+    out_file = str(tmp_path / "gt.txt")
+    ids = ev.export_groundtruth_from_json(
+        agg_file, seg_file, {"chair": 5, "floor": 2}, out_file
+    )
+    np.testing.assert_array_equal(ids, [5, 5, 5, 2, 2, 0])
+    assert (ev.load_ids(out_file) == ids).all()
+
+
+def test_voting_improves_consistency():
+    # predict_fn favors class 0 when mean x > 0 else class 1; voting over a
+    # full rotation should average this out deterministically.
+    def predict_fn(points):
+        score = points[..., 0].mean(axis=1)
+        return np.stack([score, -score], axis=-1)
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(4, 64, 3).astype(np.float32)
+    votes = ev.vote_predict(predict_fn, pts, num_votes=8)
+    assert votes.shape == (4, 2)
+
+    batches = [(pts, np.zeros(4, np.int64))]
+    res = ev.evaluate_classification(predict_fn, batches, num_votes=4, num_classes=2)
+    assert 0 <= res["accuracy"] <= 1
+
+
+def test_part_iou_accumulator():
+    acc = ev.PartIoUAccumulator()
+    gt = np.array([12, 12, 13, 14])
+    logits = np.zeros((4, 50))
+    logits[np.arange(4), gt] = 10.0  # perfect
+    acc.add_shape(logits, gt, "Chair")
+    # Completely wrong (within category range).
+    wrong = np.zeros((4, 50))
+    wrong[:, 15] = 10.0
+    acc.add_shape(wrong, gt, "Chair")
+    res = acc.result()
+    # wrong shape: all four parts have IoU 0 (part 15 predicted but absent in
+    # gt, others present in gt but never predicted) -> shape IoU 0.
+    assert res["per_category_iou"]["Chair"] == pytest.approx(0.5)
+    assert res["instance_avg_iou"] == pytest.approx(0.5)
+
+
+def test_restrict_logits_to_category():
+    logits = np.zeros((3, 50))
+    logits[:, 0] = 100.0  # airplane part — must be ignored for Chair
+    logits[:, 13] = 1.0
+    pred = ev.restrict_logits_to_category(logits, "Chair")
+    assert (pred == 13).all()
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    pts = rng.rand(100, 3).astype(np.float32)
+    labels = rng.randint(0, 21, size=100)
+    path = str(tmp_path / "scene.ply")
+    viz.export_labeled_scene(path, pts, labels)
+    rp, rc = viz.read_ply(path)
+    np.testing.assert_allclose(rp, pts)
+    np.testing.assert_array_equal(rc, viz.colorize_labels(labels))
+
+
+def test_metric_logger_and_curves(tmp_path):
+    logger = MetricLogger(str(tmp_path), "run", tensorboard=False)
+    for i in range(5):
+        logger.log(i, {"val_miou": 0.1 * i})
+    logger.close()
+    from pointcloud_segmentation_attention_tpu.viz import extract_curve
+    steps, vals = extract_curve(logger.path, "val_miou")
+    assert steps == list(range(5))
+    assert vals[-1] == pytest.approx(0.4)
+
+
+def test_train_config_roundtrip(tmp_path):
+    cfg = TrainConfig(data_root="/x", model="sem_seg", epochs=3)
+    assert cfg.split_dir == "/x/splits"
+    cfg2 = TrainConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    cfg3 = TrainConfig.from_args(["--data_root", "/y", "--epochs", "7",
+                                  "--use_colors", "false"])
+    assert cfg3.data_root == "/y" and cfg3.epochs == 7
+    assert cfg3.use_colors is False
+    assert cfg3.split_dir == "/y/splits"
+
+
+def test_checkpoint_save_restore_best(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pointcloud_segmentation_attention_tpu.train.checkpoints import (
+        BestKeeper, best_checkpoint, restore_checkpoint, save_checkpoint,
+    )
+    from pointcloud_segmentation_attention_tpu.train.train_state import TrainState
+
+    params = {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}
+    tx = optax.adam(1e-3)
+    state = TrainState.create(lambda *a, **k: None, params, {"bn": jnp.ones(2)}, tx)
+    state = state.replace(step=5)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state, 5, metric=0.3)
+    # Mutate and restore.
+    mutated = state.replace(
+        params={"w": jnp.zeros((3, 3)), "b": jnp.ones((3,))}, step=0
+    )
+    from pointcloud_segmentation_attention_tpu.train.checkpoints import latest_checkpoint
+    path = latest_checkpoint(ckpt_dir)
+    restored = restore_checkpoint(path, mutated)
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 1.0)
+    assert restored.step == 5
+
+    keeper = BestKeeper(ckpt_dir)
+    assert keeper.maybe_save(state, 10, 0.5)
+    assert not keeper.maybe_save(state, 20, 0.4)  # worse: not saved
+    assert keeper.maybe_save(state, 30, 0.6)
+    best = best_checkpoint(ckpt_dir, prefix="best")
+    assert "00000030" in best
