@@ -1,0 +1,72 @@
+"""Backend dispatch: Pallas TPU kernels on TPU, pure-XLA elsewhere.
+
+The public ``ops`` API routes the hot index-producing ops to their Pallas
+implementations when the default backend is a TPU (and shapes qualify); the
+pure-XLA versions remain the semantic reference and the fallback.  Dispatch
+can be pinned for testing with ``set_backend('xla' | 'pallas' | 'auto')``.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pointcloud_segmentation_attention_tpu.ops import geometry
+
+_MODE = "auto"  # 'auto' | 'xla' | 'pallas'
+
+
+def set_backend(mode: str) -> None:
+    global _MODE
+    if mode not in ("auto", "xla", "pallas"):
+        raise ValueError(mode)
+    _MODE = mode
+
+
+def get_backend() -> str:
+    return _MODE
+
+
+def _use_pallas() -> bool:
+    if _MODE == "pallas":
+        return True
+    if _MODE == "xla":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+def farthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    if _use_pallas():
+        from pointcloud_segmentation_attention_tpu.ops.pallas import (
+            farthest_point_sample_pallas,
+        )
+
+        return farthest_point_sample_pallas(xyz, npoint)
+    return geometry.farthest_point_sample(xyz, npoint)
+
+
+def ball_query(
+    xyz: jnp.ndarray, new_xyz: jnp.ndarray, radius: float, nsample: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if _use_pallas():
+        from pointcloud_segmentation_attention_tpu.ops.pallas import (
+            ball_query_pallas,
+        )
+
+        return ball_query_pallas(xyz, new_xyz, radius, nsample)
+    return geometry.ball_query(xyz, new_xyz, radius, nsample)
+
+
+def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    # Pallas path needs >= 3 known points (no padding branch in-kernel).
+    if _use_pallas() and xyz2.shape[1] >= 3:
+        from pointcloud_segmentation_attention_tpu.ops.pallas import (
+            three_nn_pallas,
+        )
+
+        return three_nn_pallas(xyz1, xyz2)
+    return geometry.three_nn(xyz1, xyz2)

@@ -1,0 +1,84 @@
+"""Parity tests for the Pallas TPU kernels (interpret mode on CPU).
+
+On real TPU hardware (PSA_TEST_TPU=1) the same tests run compiled.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloud_segmentation_attention_tpu import ops
+from pointcloud_segmentation_attention_tpu.ops.pallas import (
+    ball_query_pallas,
+    farthest_point_sample_pallas,
+    three_nn_pallas,
+)
+from oracles import ball_query_oracle, fps_oracle, three_nn_oracle
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.RandomState(7)
+
+
+def test_fps_pallas_matches_oracle(rng):
+    xyz = rng.rand(2, 300, 3).astype(np.float32)
+    got = np.asarray(farthest_point_sample_pallas(jnp.asarray(xyz), 37, INTERPRET))
+    np.testing.assert_array_equal(got, fps_oracle(xyz, 37))
+
+
+def test_fps_pallas_matches_xla_lane_aligned(rng):
+    # Exercise exact lane-multiple N and npoint.
+    xyz = rng.rand(3, 256, 3).astype(np.float32)
+    got = np.asarray(farthest_point_sample_pallas(jnp.asarray(xyz), 128, INTERPRET))
+    want = np.asarray(ops.geometry.farthest_point_sample(jnp.asarray(xyz), 128))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_pallas_matches_oracle(rng):
+    xyz = rng.rand(2, 300, 3).astype(np.float32)
+    centers_idx = fps_oracle(xyz, 40)
+    centers = np.take_along_axis(xyz, centers_idx[..., None].astype(np.int64), 1)
+    gi, gc = ball_query_pallas(jnp.asarray(xyz), jnp.asarray(centers), 0.2, 16,
+                               INTERPRET)
+    wi, wc = ball_query_oracle(xyz, centers, 0.2, 16)
+    np.testing.assert_array_equal(np.asarray(gi), wi)
+    np.testing.assert_array_equal(np.asarray(gc), wc)
+
+
+def test_ball_query_pallas_empty_and_full(rng):
+    # Center far from everything -> cnt 0, idx 0; radius huge -> first 4 pts.
+    xyz = np.zeros((1, 8, 3), np.float32)
+    xyz[0, :, 0] = np.arange(8)
+    centers = np.array([[[100.0, 0, 0], [0.0, 0, 0]]], np.float32)
+    gi, gc = ball_query_pallas(jnp.asarray(xyz), jnp.asarray(centers), 2.5, 4,
+                               INTERPRET)
+    gi, gc = np.asarray(gi), np.asarray(gc)
+    assert gc[0, 0] == 0 and (gi[0, 0] == 0).all()
+    assert gc[0, 1] == 3  # points 0,1,2 within 2.5 of origin
+    np.testing.assert_array_equal(gi[0, 1], [0, 1, 2, 0])
+
+
+def test_three_nn_pallas_matches_oracle(rng):
+    xyz1 = rng.randn(2, 100, 3).astype(np.float32)
+    xyz2 = rng.randn(2, 16, 3).astype(np.float32)
+    gd, gi = three_nn_pallas(jnp.asarray(xyz1), jnp.asarray(xyz2), INTERPRET)
+    wd, wi = three_nn_oracle(xyz1, xyz2)
+    np.testing.assert_array_equal(np.asarray(gi), wi)
+    np.testing.assert_allclose(np.asarray(gd), wd, rtol=1e-4, atol=1e-5)
+
+
+def test_dispatch_modes(rng):
+    xyz = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32))
+    ops.set_backend("xla")
+    try:
+        a = np.asarray(ops.farthest_point_sample(xyz, 8))
+    finally:
+        ops.set_backend("auto")
+    b = np.asarray(ops.geometry.farthest_point_sample(xyz, 8))
+    np.testing.assert_array_equal(a, b)
+    assert ops.get_backend() == "auto"
