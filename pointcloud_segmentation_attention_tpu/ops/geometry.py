@@ -170,6 +170,8 @@ def ball_query(
     r2_lo = max(radius, 1e-20)  # d clamped to 1e-20 before the compare
     xyz = xyz.astype(jnp.float32)
 
+    k_eff = min(nsample, n)  # nsample may exceed the point count
+
     def one_chunk(centers: jnp.ndarray):
         # centers: (B, Mc, 3)
         d2 = _pairwise_sqdist(centers.astype(jnp.float32), xyz)  # (B, Mc, N)
@@ -177,9 +179,15 @@ def ball_query(
         j = lax.broadcasted_iota(jnp.int32, mask.shape, dimension=2)
         # Key: in-radius points keep their index, others get N (sorted last).
         key = jnp.where(mask, j, n)
-        # top_k of -key = nsample smallest keys, ascending after negation.
-        neg_sorted, _ = lax.top_k(-key, nsample)
-        idx_sorted = -neg_sorted  # (B, Mc, nsample), ascending j, invalid == n
+        # top_k of -key = k_eff smallest keys, ascending after negation.
+        neg_sorted, _ = lax.top_k(-key, k_eff)
+        idx_sorted = -neg_sorted  # (B, Mc, k_eff), ascending j, invalid == n
+        if k_eff < nsample:
+            idx_sorted = jnp.concatenate(
+                [idx_sorted,
+                 jnp.full(idx_sorted.shape[:-1] + (nsample - k_eff,), n,
+                          idx_sorted.dtype)], axis=-1,
+            )
         valid = idx_sorted < n
         first = idx_sorted[..., :1]
         first = jnp.where(first < n, first, 0)
@@ -214,10 +222,22 @@ def knn_point(
     m = new_xyz.shape[1]
     xyz = xyz.astype(jnp.float32)
 
+    k_eff = min(k, n)
+
     def one_chunk(centers: jnp.ndarray):
         d2 = _pairwise_sqdist(centers.astype(jnp.float32), xyz)  # (B, Mc, N)
-        neg_top, idx = lax.top_k(-d2, k)
-        return -neg_top, idx.astype(jnp.int32)
+        neg_top, idx = lax.top_k(-d2, k_eff)
+        dist, idx = -neg_top, idx.astype(jnp.int32)
+        if k_eff < k:
+            # Fewer points than requested neighbors: repeat the farthest.
+            pad = k - k_eff
+            dist = jnp.concatenate(
+                [dist, jnp.repeat(dist[..., -1:], pad, axis=-1)], axis=-1
+            )
+            idx = jnp.concatenate(
+                [idx, jnp.repeat(idx[..., -1:], pad, axis=-1)], axis=-1
+            )
+        return dist, idx
 
     chunk = _chunk_queries(m, b, n)
     if chunk >= m:

@@ -8,10 +8,17 @@ from pointcloud_segmentation_attention_tpu.train.steps import (
     seg_predict_step,
     seg_train_step,
 )
+from pointcloud_segmentation_attention_tpu.train.cls_steps import (
+    cls_eval_step,
+    cls_train_step,
+    partseg_eval_step,
+    partseg_train_step,
+)
 
 __all__ = [
     "losses", "metrics", "schedules",
     "TrainState", "create_state",
     "SCANNET_CLASS_WEIGHTS", "make_sample_weights",
     "seg_train_step", "seg_eval_step", "seg_predict_step",
+    "cls_train_step", "cls_eval_step", "partseg_train_step", "partseg_eval_step",
 ]
