@@ -1,13 +1,15 @@
-"""End-to-end benchmark: flagship model chunk throughput on one chip.
+"""End-to-end benchmark: flagship model TRAINING throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: points/sec through the color+normal semantic-segmentation model
-(forward, batch 16 x 8192 points — the reference's training geometry,
-``attention_points/train.py:14-17``).  vs_baseline compares against the
-reference's only published pipeline-speed number reinterpreted as chunk
-throughput: 1201 scenes x 8192 pts / 85 s epoch (Report.pdf §3.3, the
-precomputed-pickle pipeline on a consumer GPU) ≈ 115.7k points/sec.
+Metric: training points/sec through the color+normal semantic-segmentation
+model — a full jitted train step (forward, weighted CE, backward, Adam,
+BN-EMA, confusion-matrix update) at the reference's exact training geometry
+(batch 16 x 8192 points, ``attention_points/train.py:14-17``).
+
+vs_baseline: the reference's published epoch time — 1201 scenes x 8192 points
+in 85 s with its precomputed-pickle pipeline on a consumer GPU (Report.pdf
+§3.3) ≈ 115.7k training points/sec.
 """
 import json
 import os
@@ -18,33 +20,55 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_POINTS_PER_SEC = 1201 * 8192 / 85.0  # reference epoch time, Report.pdf §3.3
+BASELINE_POINTS_PER_SEC = 1201 * 8192 / 85.0  # reference epoch, Report.pdf §3.3
 
 
 def main():
     import jax
     import jax.numpy as jnp
+    import optax
 
-    from __graft_entry__ import entry
+    from pointcloud_segmentation_attention_tpu import models
+    from pointcloud_segmentation_attention_tpu.train import (
+        create_state,
+        make_sample_weights,
+        schedules,
+        seg_train_step,
+    )
 
-    fwd, (points, features) = entry()
-    fwd = jax.jit(fwd)
+    rng = np.random.RandomState(0)
+    b, n = 16, 8192
+    batch = {
+        "points": jnp.asarray(rng.rand(b, n, 3).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 21, (b, n)).astype(np.int32)),
+        "features": jnp.asarray(rng.rand(b, n, 6).astype(np.float32)),
+    }
+    batch["weights"] = make_sample_weights(
+        batch["labels"], jnp.ones((b, n), jnp.float32)
+    )
 
-    # Warmup/compile.
-    out = fwd(points, features)
-    out.block_until_ready()
+    model = models.get_model("sem_seg_features", num_classes=21)
+    tx = optax.adam(schedules.scannet_learning_rate)
+    state = create_state(
+        model, tx, jax.random.PRNGKey(0),
+        batch["points"][:1], batch["features"][:1], train=False,
+    )
+    step = jax.jit(seg_train_step, donate_argnums=(0,))
+    key = jax.random.PRNGKey(1)
 
-    iters = 20
+    state, m = step(state, batch, key)  # compile
+    jax.block_until_ready(m["loss"])
+
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(points, features)
-    out.block_until_ready()
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
 
-    b, n = points.shape[0], points.shape[1]
     pps = iters * b * n / dt
     print(json.dumps({
-        "metric": "semseg_features_fwd_points_per_sec",
+        "metric": "semseg_features_train_points_per_sec",
         "value": round(pps, 1),
         "unit": "points/sec/chip",
         "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),

@@ -21,6 +21,37 @@ from pointcloud_segmentation_attention_tpu.data.scannet.chunks import map_back
 from pointcloud_segmentation_attention_tpu.data.scannet import precompute
 
 
+def make_sharded_predict_fn(state, n_devices=None):
+    """Wrap ``seg_predict_step`` as a chunk-batch predictor sharded over a
+    device mesh: cuboid chunks are scattered across chips, logits gathered —
+    the TPU equivalent of 'sharded full-scene inference' (BASELINE.json
+    north-star; no counterpart in the reference, which streamed chunks through
+    one GPU).  Use a batch_size that is a multiple of the mesh size.
+    """
+    import jax
+
+    from pointcloud_segmentation_attention_tpu import parallel
+    from pointcloud_segmentation_attention_tpu.train.steps import seg_predict_step
+
+    mesh = parallel.make_mesh(n_devices)
+
+    step = parallel.data_parallel_jit(
+        seg_predict_step, mesh, batch_argnums=(1, 2), donate_argnums=()
+    )
+
+    def predict(points, features=None):
+        import jax.numpy as jnp
+
+        pts = parallel.shard_batch(jnp.asarray(points), mesh)
+        fts = (
+            parallel.shard_batch(jnp.asarray(features), mesh)
+            if features is not None else None
+        )
+        return step(state, pts, fts)
+
+    return predict, mesh
+
+
 def predict_scene_chunks(
     predict_fn: Callable,
     scene: Dict[str, np.ndarray],
