@@ -57,14 +57,21 @@ def main():
     key = jax.random.PRNGKey(1)
 
     state, m = step(state, batch, key)  # compile
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
+    # Warmup past secondary (donation-layout) compiles.  NOTE: on the axon
+    # remote backend block_until_ready can return optimistically; a value
+    # fetch (float(...)) is the only reliable synchronization point.
+    for _ in range(110):
+        state, m = step(state, batch, key)
+    float(m["loss"])
 
-    iters = 30
+    iters = 200
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch, key)
-    jax.block_until_ready(m["loss"])
+    final_loss = float(m["loss"])  # true sync point
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     pps = iters * b * n / dt
     print(json.dumps({
