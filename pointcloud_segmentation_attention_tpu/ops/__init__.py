@@ -13,13 +13,13 @@ from pointcloud_segmentation_attention_tpu.ops.geometry import (
     interpolation_weights,
     knn_point,
     prob_sample,
-    three_interpolate,
 )
 from pointcloud_segmentation_attention_tpu.ops.dispatch import (
     ball_query,
     farthest_point_sample,
     get_backend,
     set_backend,
+    three_interpolate,
     three_nn,
 )
 

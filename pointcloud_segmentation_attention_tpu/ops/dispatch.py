@@ -61,6 +61,20 @@ def ball_query(
     return geometry.ball_query(xyz, new_xyz, radius, nsample)
 
 
+def three_interpolate(
+    points: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    if _use_pallas():
+        from pointcloud_segmentation_attention_tpu.ops.pallas.interpolate_kernel import (
+            pallas_interpolate_supported,
+            three_interpolate_pallas,
+        )
+
+        if pallas_interpolate_supported(points, idx):
+            return three_interpolate_pallas(points, idx, weight)
+    return geometry.three_interpolate(points, idx, weight)
+
+
 def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # Pallas path needs >= 3 known points (no padding branch in-kernel).
     if _use_pallas() and xyz2.shape[1] >= 3:
