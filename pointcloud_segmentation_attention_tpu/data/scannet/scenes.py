@@ -1,0 +1,130 @@
+"""ScanNet scene store: per-scene npy arrays + split files + synthetic scenes.
+
+Reference layout (``attention_points/scannet_dataset/generator_dataset.py:46-60``):
+``{root}/{points,labels,colors,normals}/{scene}.npy`` with split lists at
+``{root}/splits/scannetv2_{train,val,test}.txt`` (:12-43).  Labels are stored
+RAW (NYU40 ids, as produced by preprocessing); consumers apply
+``label_map.map_labels`` on load.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from pointcloud_segmentation_attention_tpu.data.scannet.label_map import (
+    map_labels,
+    map_to_nyu40,
+)
+
+ARRAY_KINDS = ("points", "labels", "colors", "normals")
+
+
+def scene_path(data_root: str, kind: str, scene_name: str) -> str:
+    return os.path.join(data_root, kind, f"{scene_name}.npy")
+
+
+def save_scene(data_root: str, scene_name: str, scene: Dict[str, np.ndarray]) -> None:
+    for kind in ARRAY_KINDS:
+        os.makedirs(os.path.join(data_root, kind), exist_ok=True)
+        np.save(scene_path(data_root, kind, scene_name), scene[kind])
+
+
+def load_scene(data_root: str, scene_name: str) -> Dict[str, np.ndarray]:
+    """Load one scene's raw arrays (ref generator_dataset.py:46-60).
+    Labels are raw NYU40 ids."""
+    return {kind: np.load(scene_path(data_root, kind, scene_name))
+            for kind in ARRAY_KINDS}
+
+
+def load_scene_mapped(data_root: str, scene_name: str) -> Dict[str, np.ndarray]:
+    """Scene with labels mapped NYU40 -> [0, 20] (ref data_transformation label
+    map stage)."""
+    scene = load_scene(data_root, scene_name)
+    scene["labels"] = map_labels(scene["labels"]).astype(np.int32)
+    return scene
+
+
+def read_split(split_dir: str, split: str) -> List[str]:
+    """Scene names of one split (ref generator_dataset.py:12-43 reads
+    ``splits/scannetv2_{split}.txt``)."""
+    with open(os.path.join(split_dir, f"scannetv2_{split}.txt")) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def write_split(split_dir: str, split: str, names: Sequence[str]) -> None:
+    os.makedirs(split_dir, exist_ok=True)
+    with open(os.path.join(split_dir, f"scannetv2_{split}.txt"), "w") as f:
+        f.write("\n".join(names) + ("\n" if names else ""))
+
+
+def make_synthetic_scene(n_points: int = 20000, seed: int = 0) -> Dict[str, np.ndarray]:
+    """A room-like labeled scene for tests/benchmarks (in ScanNet units:
+    meters; extent ~6 x 5 x 2.6 m).  Labels are COMPACT [0, 20] ids; ~85 % of
+    points are annotated so the chunk sampler's >=70 %-labeled validity check
+    (ref data_transformation.py:120-141) passes.
+    Returns dict points/labels/colors/normals.
+    """
+    rng = np.random.RandomState(seed)
+    extent = np.array([6.0, 5.0, 2.6], np.float32)
+    n_floor = n_points // 4
+    n_wall = n_points // 4
+    n_obj = n_points - n_floor - n_wall
+
+    floor = rng.uniform([0, 0, 0], [extent[0], extent[1], 0.05], (n_floor, 3))
+    wall = rng.uniform([0, 0, 0], [extent[0], 0.05, extent[2]], (n_wall, 3))
+    # Furniture blobs: gaussian clusters with per-blob labels.
+    n_blobs = 12
+    centers = rng.uniform([0.5, 0.5, 0.0], extent - [0.5, 0.5, 0.8], (n_blobs, 3))
+    blob_labels = rng.randint(3, 21, n_blobs)
+    blob_id = rng.randint(0, n_blobs, n_obj)
+    obj = centers[blob_id] + rng.randn(n_obj, 3) * 0.3
+
+    points = np.concatenate([floor, wall, obj]).astype(np.float32)
+    labels = np.concatenate([
+        np.full(n_floor, 2),            # floor
+        np.full(n_wall, 1),             # wall
+        blob_labels[blob_id],
+    ]).astype(np.int32)
+    # ~15 % unannotated.
+    labels[rng.rand(n_points) < 0.15] = 0
+
+    colors = rng.randint(0, 256, (n_points, 3)).astype(np.int32)
+    normals = rng.randn(n_points, 3).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+
+    perm = rng.permutation(n_points)
+    return {
+        "points": points[perm],
+        "labels": labels[perm],
+        "colors": colors[perm],
+        "normals": normals[perm],
+    }
+
+
+def write_synthetic_dataset(
+    data_root: str,
+    n_train: int = 2,
+    n_val: int = 1,
+    n_test: int = 0,
+    n_points: int = 20000,
+    seed: int = 0,
+) -> Dict[str, List[str]]:
+    """Write a miniature ScanNet-layout dataset; labels are stored raw (NYU40)
+    like the real preprocessing output.  Returns the split name lists."""
+    splits: Dict[str, List[str]] = {"train": [], "val": [], "test": []}
+    i = 0
+    for split, count in (("train", n_train), ("val", n_val), ("test", n_test)):
+        for _ in range(count):
+            name = f"scene{i:04d}_00"
+            scene = make_synthetic_scene(n_points, seed=seed + i)
+            raw = dict(scene)
+            raw["labels"] = map_to_nyu40(scene["labels"]).astype(np.int32)
+            save_scene(data_root, name, raw)
+            splits[split].append(name)
+            i += 1
+    split_dir = os.path.join(data_root, "splits")
+    for split, names in splits.items():
+        write_split(split_dir, split, names)
+    return splits
