@@ -19,4 +19,10 @@ Design note: all raggedness (variable scene sizes) is resolved on the host by
 sample-with-replacement to fixed ``npoints`` — device code only ever compiles
 one shape per geometry (SURVEY.md §7 "Ragged->fixed shapes").
 """
-from pointcloud_segmentation_attention_tpu.data import augment, pipeline  # noqa: F401
+from pointcloud_segmentation_attention_tpu.data import (  # noqa: F401
+    augment,
+    modelnet,
+    pipeline,
+    s3dis,
+    shapenet_part,
+)
