@@ -203,6 +203,70 @@ def convert_scans(scans_dir: str, data_root: str) -> List[str]:
     return converted
 
 
+def collect_scannet_scene(
+    scan_dir: str,
+    scene_name: str,
+    data_root: str,
+    raw_to_nyu40: Optional[Dict[str, int]] = None,
+    label_map_tsv: Optional[str] = None,
+) -> np.ndarray:
+    """Raw ScanNet scan -> scene-store npy, labels resolved through
+    segs.json + aggregation.json + the combined-labels tsv
+    (ref ``pointnet2_tensorflow/scannet/preprocessing/collect_scannet_scenes.py
+    :21-102`` and ``attention_points/benchmark/generate_groundtruth.py``).
+
+    Expects the official per-scan layout::
+
+        {scan_dir}/{scene}_vh_clean_2.ply
+        {scan_dir}/{scene}_vh_clean_2.0.010000.segs.json
+        {scan_dir}/{scene}.aggregation.json
+
+    Returns the per-vertex NYU40 label array.  Either ``raw_to_nyu40`` (a
+    mapping from raw category names) or ``label_map_tsv`` must be given.
+    """
+    from pointcloud_segmentation_attention_tpu.eval.benchmark import (
+        read_label_mapping_tsv,
+    )
+
+    if raw_to_nyu40 is None:
+        if label_map_tsv is None:
+            raise ValueError("need raw_to_nyu40 or label_map_tsv")
+        raw_to_nyu40 = read_label_mapping_tsv(label_map_tsv)
+
+    mesh = read_ply_mesh(os.path.join(scan_dir, f"{scene_name}_vh_clean_2.ply"))
+    points = mesh["points"]
+
+    import json
+    with open(os.path.join(scan_dir,
+                           f"{scene_name}_vh_clean_2.0.010000.segs.json")) as f:
+        seg_indices = np.asarray(json.load(f)["segIndices"], np.int64)
+    with open(os.path.join(scan_dir, f"{scene_name}.aggregation.json")) as f:
+        agg = json.load(f)
+    # segment id -> NYU40 id of its aggregated object (ref :55-77).
+    seg_label: Dict[int, int] = {}
+    for obj in agg["segGroups"]:
+        nyu = raw_to_nyu40.get(obj["label"], 0)
+        for s in obj["segments"]:
+            seg_label[int(s)] = nyu
+    labels = np.array([seg_label.get(int(s), 0) for s in seg_indices], np.int32)
+
+    colors = mesh["colors"]
+    if colors is None:
+        colors = np.zeros((len(points), 3), np.int32)
+    normals = mesh["normals"]
+    if normals is None and mesh["faces"] is not None:
+        normals = compute_vertex_normals(points, mesh["faces"])
+    if normals is None:
+        normals = np.tile(np.array([0, 0, 1], np.float32), (len(points), 1))
+    scenes_lib.save_scene(data_root, scene_name, {
+        "points": points.astype(np.float32),
+        "labels": labels,
+        "colors": colors.astype(np.int32),
+        "normals": normals.astype(np.float32),
+    })
+    return labels
+
+
 def download_scannet(*args, **kwargs):
     """ScanNet download requires a signed terms-of-service token and network
     egress (ref scannet_download_script.py:1-265); neither is available here."""

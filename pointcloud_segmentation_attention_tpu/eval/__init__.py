@@ -15,7 +15,9 @@ from pointcloud_segmentation_attention_tpu.eval.benchmark import (
 )
 from pointcloud_segmentation_attention_tpu.eval.voting import (
     evaluate_classification,
+    evaluate_part_segmentation,
     vote_predict,
+    vote_predict_partseg,
 )
 from pointcloud_segmentation_attention_tpu.eval.part_iou import (
     SEG_CLASSES,

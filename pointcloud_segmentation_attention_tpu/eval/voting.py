@@ -60,3 +60,62 @@ def evaluate_classification(
         "avg_class_accuracy": float(per_class[seen_per_class > 0].mean()),
         "per_class_accuracy": per_class,
     }
+
+
+def vote_predict_partseg(
+    predict_fn: Callable[[np.ndarray], np.ndarray],
+    points: np.ndarray,
+    num_votes: int = 12,
+    seed: int = 0,
+) -> np.ndarray:
+    """Per-point logits summed over shuffle votes (ref part_seg/evaluate.py,
+    VOTE_NUM=12: each vote re-feeds the shape under a different point
+    permutation and the logits are un-permuted before summing).
+    points (B, N, C) -> logits (B, N, num_parts)."""
+    rng = np.random.RandomState(seed)
+    n = points.shape[1]
+    total = None
+    for _ in range(num_votes):
+        perm = rng.permutation(n)
+        inv = np.argsort(perm)
+        logits = np.asarray(predict_fn(points[:, perm]))[:, inv]
+        total = logits if total is None else total + logits
+    return total
+
+
+def evaluate_part_segmentation(
+    predict_fn: Callable,
+    dataset,  # PartNormalDataset
+    batch_size: int = 8,
+    num_votes: int = 12,
+    ply_dir: Optional[str] = None,
+) -> dict:
+    """Voting part-seg evaluation with per-category IoU
+    (ref part_seg/evaluate.py + test.py's per-shape ply dumps when
+    ``ply_dir`` is given)."""
+    from pointcloud_segmentation_attention_tpu.eval.part_iou import (
+        PartIoUAccumulator,
+        restrict_logits_to_category,
+    )
+
+    acc = PartIoUAccumulator()
+    cats = sorted(dataset.classes, key=lambda c: dataset.classes[c])
+    shape_idx = 0
+    for pts, seg, cls, bsize in dataset.batches(batch_size, shuffle=False):
+        logits = vote_predict_partseg(predict_fn, pts, num_votes)
+        for i in range(bsize):
+            cat = cats[cls[i]]
+            acc.add_shape(logits[i], seg[i], cat)
+            if ply_dir is not None:
+                from pointcloud_segmentation_attention_tpu.viz.ply_export import (
+                    export_labeled_scene,
+                )
+                import os
+                os.makedirs(ply_dir, exist_ok=True)
+                pred = restrict_logits_to_category(logits[i], cat)
+                export_labeled_scene(
+                    os.path.join(ply_dir, f"shape{shape_idx:05d}_{cat}.ply"),
+                    pts[i, :, :3], pred,
+                )
+            shape_idx += 1
+    return acc.result()

@@ -37,5 +37,10 @@ LABEL_COLORS_U8 = (LABEL_COLORS_FLOAT * 255).astype(np.uint8)
 
 
 def colorize_labels(labels: np.ndarray) -> np.ndarray:
-    """(N,) int labels -> (N, 3) uint8 colors."""
-    return LABEL_COLORS_U8[np.asarray(labels, np.int64)]
+    """(N,) int labels -> (N, 3) uint8 colors.  Labels beyond the 21-class
+    ScanNet palette (e.g. the 50 ShapeNet part ids) cycle through it,
+    skipping the black 'unannotated' slot."""
+    labels = np.asarray(labels, np.int64)
+    n = len(LABEL_COLORS_U8)
+    wrapped = np.where(labels < n, labels, (labels - n) % (n - 1) + 1)
+    return LABEL_COLORS_U8[wrapped]
