@@ -38,8 +38,12 @@ def main():
 
     rng = np.random.RandomState(0)
     b, n = 16, 8192
+    # Points in the real training-chunk geometry: a 1.5 x 1.5 m x room-height
+    # cuboid (+0.2 m context margin), ref data_transformation.py:98-99 — ball
+    # density at radius 0.1 matches what the kernels see on real ScanNet data.
+    extent = np.array([1.9, 1.9, 2.6], np.float32)
     batch = {
-        "points": jnp.asarray(rng.rand(b, n, 3).astype(np.float32)),
+        "points": jnp.asarray((rng.rand(b, n, 3) * extent).astype(np.float32)),
         "labels": jnp.asarray(rng.randint(0, 21, (b, n)).astype(np.int32)),
         "features": jnp.asarray(rng.rand(b, n, 6).astype(np.float32)),
     }

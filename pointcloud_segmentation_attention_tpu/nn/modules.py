@@ -53,14 +53,21 @@ def sample_and_group(
         _, idx = ops.knn_point(nsample, xyz, new_xyz)
     else:
         idx, _ = ops.ball_query(xyz, new_xyz, radius, nsample)
-    grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
+    # One combined gather for xyz+features: the gather's cost on TPU is per
+    # slice (row count), not per byte — two separate group_points cost ~2x one
+    # wide one (measured 7.5 ms vs 4.0 ms at the L1 shapes, B16).
     if points is not None:
-        grouped_points = ops.group_point(points, idx)
+        grouped = ops.group_point(
+            jnp.concatenate([xyz, points.astype(xyz.dtype)], axis=-1), idx
+        )
+        grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
+        grouped_points = grouped[..., 3:].astype(points.dtype)
         if use_xyz:
             new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
         else:
             new_points = grouped_points
     else:
+        grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
         new_points = grouped_xyz
     return new_xyz, new_points, idx, grouped_xyz
 
@@ -196,13 +203,22 @@ class SetAbstractionMSG(nn.Module):
         outs = []
         for i, (radius, nsample) in enumerate(zip(self.radius_list, self.nsample_list)):
             idx, _ = ops.ball_query(xyz, new_xyz, radius, nsample)
-            grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:
-                grouped = ops.group_point(points, idx)
+                # Single combined gather (see sample_and_group); xyz LAST here.
+                both = ops.group_point(
+                    jnp.concatenate([points.astype(xyz.dtype), xyz], axis=-1),
+                    idx,
+                )
+                grouped_xyz = both[..., -3:] - new_xyz[:, :, None, :]
                 if self.use_xyz:
-                    grouped = jnp.concatenate([grouped, grouped_xyz], axis=-1)
+                    grouped = jnp.concatenate(
+                        [both[..., :-3].astype(points.dtype), grouped_xyz],
+                        axis=-1,
+                    )
+                else:
+                    grouped = both[..., :-3].astype(points.dtype)
             else:
-                grouped = grouped_xyz
+                grouped = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
             grouped = SharedMLP(
                 self.mlp_list[i], compute_dtype=self.compute_dtype, name=f"branch{i}"
             )(grouped, train=train, bn_momentum=bn_momentum)

@@ -66,13 +66,27 @@ def _ball_query_kernel(
         jnp.where(sel_pos == 1, lane_i32, 0), axis=1, keepdims=True
     )  # (Mt, 1); 0 when no hits
 
-    for s in range(nsample):
+    # Slot extraction, bounded by the tile's max hit count: every slot s >=
+    # cnt[m] is a repeat of the first hit (the CUDA padding rule), so only
+    # slots < max(cnt) need a lane reduction at all.  With sparse balls (the
+    # common case: ~4 hits among 8192 points at SA level 1 on real chunk
+    # geometry) this turns 32 full-width reduction passes into ~4.
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (mt, nsample_pad), 1)
+    init = jnp.where(out_lane < nsample,
+                     jnp.broadcast_to(first_hit, (mt, nsample_pad)), 0)
+    cnt_max = jnp.max(cnt)
+
+    def slot_body(state):
+        s, idxs = state
         idx_s = jnp.sum(jnp.where(sel_pos == s + 1, lane_i32, 0), axis=1,
                         keepdims=True)
-        idx_s = jnp.where(cnt > s, idx_s, first_hit)
-        idx_ref[:, s:s + 1] = idx_s
-    if nsample_pad > nsample:
-        idx_ref[:, nsample:] = jnp.zeros((mt, nsample_pad - nsample), jnp.int32)
+        idxs = jnp.where((out_lane == s) & (cnt > s), idx_s, idxs)
+        return s + 1, idxs
+
+    _, idxs = jax.lax.while_loop(
+        lambda state: state[0] < cnt_max, slot_body, (jnp.int32(1), init)
+    )
+    idx_ref[...] = idxs
     cnt_ref[...] = jnp.broadcast_to(cnt, cnt_ref.shape)
 
 

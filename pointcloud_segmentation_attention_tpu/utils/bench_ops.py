@@ -47,9 +47,12 @@ def main(b: int = 16, n: int = 8192):
     print(f"backend={jax.default_backend()} batch={b} n={n}")
     rows = []
 
+    # Real training-chunk geometry (1.5 m + context margin, room height) so
+    # ball densities match what the kernels see on ScanNet data.
+    extent = np.array([1.9, 1.9, 2.6], np.float32)
     levels = [(n, 1024, 0.1), (1024, 256, 0.2), (256, 64, 0.4), (64, 16, 0.8)]
     for n_in, npoint, radius in levels:
-        xyz = jnp.asarray(rng.rand(b, n_in, 3).astype(np.float32))
+        xyz = jnp.asarray((rng.rand(b, n_in, 3) * extent).astype(np.float32))
         fps = jax.jit(lambda x, np_=npoint: ops.farthest_point_sample(x, np_))
         t = _time(fps, xyz)
         rows.append((f"fps      {n_in:5d}->{npoint:4d}", t))
@@ -75,7 +78,7 @@ def main(b: int = 16, n: int = 8192):
     )
 
     batch = {
-        "points": jnp.asarray(rng.rand(b, n, 3).astype(np.float32)),
+        "points": jnp.asarray((rng.rand(b, n, 3) * extent).astype(np.float32)),
         "labels": jnp.asarray(rng.randint(0, 21, (b, n)).astype(np.int32)),
         "features": jnp.asarray(rng.rand(b, n, 6).astype(np.float32)),
     }
