@@ -26,7 +26,12 @@ from pointcloud_segmentation_attention_tpu import models, parallel
 from pointcloud_segmentation_attention_tpu.data import pipeline
 from pointcloud_segmentation_attention_tpu.data.scannet import precompute, read_split
 from pointcloud_segmentation_attention_tpu.train import schedules, steps
-from pointcloud_segmentation_attention_tpu.train.checkpoints import BestKeeper
+from pointcloud_segmentation_attention_tpu.train.checkpoints import (
+    BestKeeper,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from pointcloud_segmentation_attention_tpu.train.metrics import StreamingMeanIoU
 from pointcloud_segmentation_attention_tpu.train.train_state import create_state
 from pointcloud_segmentation_attention_tpu.utils.config import TrainConfig
@@ -86,6 +91,14 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
         first["points"][:1], first.get("features", [None])[:1] if use_features else None,
         train=False,
     )
+    if config.resume:
+        # Continue from the newest checkpoint — periodic if present, else the
+        # best-val one (the reference resumed by hand-loading a checkpoint
+        # into a "_continued" log dir; here it is a flag).
+        ckpt = (latest_checkpoint(config.ckpt_dir)
+                or latest_checkpoint(config.ckpt_dir, prefix="best"))
+        if ckpt is not None:
+            state = restore_checkpoint(ckpt, state)
 
     mesh = parallel.make_mesh(config.n_devices)
     train_step = parallel.data_parallel_jit(
@@ -129,6 +142,8 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
                     config.batch_size * config.n_points),
             })
             train_miou.reset()
+            if config.save_every_epochs and epoch % config.save_every_epochs == 0:
+                save_checkpoint(config.ckpt_dir, state, step_idx + 1)
             if epoch % config.n_epochs_to_val == 0:
                 val = evaluate(config, state, eval_step, mesh, val_scenes)
                 logger.log(step_idx + 1, {f"val_{k}": v for k, v in val.items()})

@@ -36,6 +36,8 @@ class TrainConfig:
     base_lr: float = 1e-3
     n_epochs_to_val: int = 4
     seed: int = 0
+    resume: bool = False           # restore the latest checkpoint and continue
+    save_every_epochs: int = 10    # periodic checkpoint (ref train.py:192-194)
     # io
     log_dir: str = "logs"
     ckpt_dir: str = ""             # defaults to <log_dir>/checkpoints

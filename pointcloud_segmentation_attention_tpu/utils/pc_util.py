@@ -170,3 +170,37 @@ def virtual_scan(points: np.ndarray, mode: int = -1,
     order = np.argsort(r, kind="stable")
     _, first = np.unique(bins[order], return_index=True)
     return np.sort(order[first])
+
+
+def sample_mesh_points(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    n_samples: int,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """Area-weighted uniform sampling of points on a triangle mesh.
+
+    The capability behind the reference's ``prob_sample`` demo
+    (``tf_sampling.py:61-90``: triangle areas -> cumulative distribution ->
+    categorical sample -> barycentric point): picks faces proportionally to
+    area via inverse-CDF sampling (the numpy analogue of ``ops.prob_sample``)
+    and a uniform barycentric point within each.
+    Returns (n_samples, 3) float32.
+    """
+    rng = rng or np.random.RandomState()
+    v0 = vertices[faces[:, 0]]
+    v1 = vertices[faces[:, 1]]
+    v2 = vertices[faces[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    cdf = np.cumsum(areas)
+    total = cdf[-1]
+    if total <= 0:
+        fi = rng.randint(0, len(faces), n_samples)
+    else:
+        fi = np.searchsorted(cdf, rng.rand(n_samples) * total)
+        fi = np.minimum(fi, len(faces) - 1)
+    # Uniform barycentric coordinates (square-root trick).
+    r1 = np.sqrt(rng.rand(n_samples, 1))
+    r2 = rng.rand(n_samples, 1)
+    pts = (1 - r1) * v0[fi] + r1 * (1 - r2) * v1[fi] + r1 * r2 * v2[fi]
+    return pts.astype(np.float32)

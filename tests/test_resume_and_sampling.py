@@ -1,0 +1,96 @@
+"""Tests: trainer checkpoint-resume, mesh sampling, train-step determinism."""
+import os
+
+import numpy as np
+import pytest
+
+from pointcloud_segmentation_attention_tpu.data import scannet as sc
+from pointcloud_segmentation_attention_tpu.utils import pc_util
+from pointcloud_segmentation_attention_tpu.utils.config import TrainConfig
+
+
+def test_sample_mesh_points_area_weighted():
+    # Two triangles: one 100x larger — nearly all samples land on it.
+    verts = np.array([[0, 0, 0], [10, 0, 0], [0, 10, 0],
+                      [20, 0, 0], [21, 0, 0], [20, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]])
+    pts = pc_util.sample_mesh_points(verts, faces, 1000,
+                                     rng=np.random.RandomState(0))
+    assert pts.shape == (1000, 3)
+    on_big = pts[:, 0] < 15
+    assert on_big.mean() > 0.97
+    # All sampled points lie in the z=0 plane of the mesh.
+    np.testing.assert_allclose(pts[:, 2], 0.0, atol=1e-6)
+
+
+def test_prob_sample_matches_distribution():
+    import jax.numpy as jnp
+    from pointcloud_segmentation_attention_tpu import ops
+
+    w = np.tile(np.array([0.1, 0.0, 0.9], np.float32), (4, 1))
+    u = np.random.RandomState(0).rand(4, 500).astype(np.float32)
+    idx = np.asarray(ops.prob_sample(jnp.asarray(w), jnp.asarray(u)))
+    assert idx.min() >= 0 and idx.max() <= 2
+    assert (idx == 1).mean() < 0.01       # zero-weight class never sampled
+    assert (idx == 2).mean() > 0.8
+
+
+def test_trainer_resume_continues_step(tmp_path):
+    data_root = str(tmp_path / "scannet")
+    splits = sc.write_synthetic_dataset(data_root, n_train=2, n_val=1,
+                                        n_test=0, n_points=4000)
+    pre = str(tmp_path / "chunks")
+    sc.precompute.precompute_train_chunks(data_root, splits["train"], pre,
+                                          epochs=1, npoints=128)
+    sc.precompute.precompute_val_chunks(data_root, splits["val"], pre,
+                                        npoints=128)
+    from pointcloud_segmentation_attention_tpu.train import trainer
+
+    cfg = TrainConfig(
+        data_root=data_root, model="sem_seg", use_colors=False,
+        use_normals=False, precompute_dir=pre,
+        log_dir=str(tmp_path / "logs"), batch_size=2, n_points=128,
+        epochs=2, n_epochs_to_val=1, n_devices=2, save_every_epochs=1,
+    )
+    s1 = trainer.train(cfg, max_steps=2)
+    assert s1["final_step"] == 2
+
+    cfg2 = TrainConfig(**{**cfg.__dict__, "resume": True})
+    s2 = trainer.train(cfg2, max_steps=1)
+    # Resumed optimizer step continues past the first run's checkpoint.
+    assert s2["final_step"] > 1
+
+
+def test_train_step_deterministic():
+    """Same seed + same batch -> bit-identical loss (the reference's CUDA
+    atomicAdd scatters were order-nondeterministic; XLA scatters are not)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pointcloud_segmentation_attention_tpu import models
+    from pointcloud_segmentation_attention_tpu.train import (
+        create_state,
+        make_sample_weights,
+        seg_train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "points": jnp.asarray(rng.rand(2, 128, 3).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 21, (2, 128)).astype(np.int32)),
+    }
+    batch["weights"] = make_sample_weights(
+        batch["labels"], jnp.ones((2, 128), jnp.float32))
+    model = models.get_model("sem_seg", num_classes=21)
+    key = jax.random.PRNGKey(0)
+
+    losses = []
+    for _ in range(2):
+        state = create_state(model, optax.adam(1e-3), key,
+                             batch["points"][:1], None, train=False)
+        step = jax.jit(seg_train_step)
+        state, m = step(state, batch, jax.random.PRNGKey(7))
+        state, m = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(m["loss"]))
+    assert losses[0] == losses[1]
