@@ -1,0 +1,67 @@
+"""Tests: 2-D (data x model) mesh tensor parallelism on the virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from pointcloud_segmentation_attention_tpu import models, parallel
+from pointcloud_segmentation_attention_tpu.train import (
+    create_state,
+    make_sample_weights,
+    seg_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = models.get_model(
+        "sem_seg", num_classes=21,
+        sa_npoints=(16, 8, 4, 2), sa_radii=(0.1, 0.2, 0.4, 0.8), sa_nsample=4,
+        sa_mlps=((8, 8), (8, 8), (8, 8), (8, 8)),
+        fp_mlps=((8,), (8,), (8,), (8, 8)),
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "points": jnp.asarray(rng.rand(8, 64, 3).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 21, (8, 64)).astype(np.int32)),
+    }
+    batch["weights"] = make_sample_weights(
+        batch["labels"], jnp.ones((8, 64), jnp.float32))
+    state = create_state(model, optax.adam(1e-3), jax.random.PRNGKey(0),
+                         batch["points"][:1], None, train=False)
+    return state, batch
+
+
+def test_state_sharding_rule(setup):
+    state, _ = setup
+    mesh = parallel.make_mesh_2d(4, 2)
+    sh = parallel.state_sharding(state, mesh)
+    kernels = [
+        (p, s) for (p, x), (_, s) in zip(
+            jax.tree_util.tree_leaves_with_path(state.params),
+            jax.tree_util.tree_leaves_with_path(sh.params))
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[-1] % 2 == 0
+    ]
+    assert kernels, "expected shardable kernels"
+    for _, s in kernels:
+        assert s.spec[-1] == "model"
+
+
+def test_tp_step_matches_dp_loss(setup):
+    state, batch = setup
+    dp_mesh = parallel.make_mesh(8)
+    dp_step = parallel.data_parallel_jit(
+        seg_train_step, dp_mesh, batch_argnums=(1,), donate_argnums=())
+    _, m_dp = dp_step(state, parallel.shard_batch(batch, dp_mesh),
+                      jax.random.PRNGKey(3))
+
+    mesh2 = parallel.make_mesh_2d(4, 2)
+    tp_step = parallel.model_parallel_jit(
+        seg_train_step, mesh2, state, batch_argnums=(1,))
+    tp_state = parallel.shard_state(state, mesh2)
+    new_state, m_tp = tp_step(tp_state, parallel.shard_batch(batch, mesh2),
+                              jax.random.PRNGKey(3))
+    assert int(new_state.step) == 1
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4)
