@@ -139,22 +139,33 @@ def full_scene_chunks(
     """
     if weight_table is None:
         weight_table = TRAIN_LABEL_WEIGHTS
-    n = len(points)
+    from pointcloud_segmentation_attention_tpu import native
+
     xy = points[:, :2]
+    # (cell, point) membership pairs for margin-enlarged cells — O(N) in C++
+    # (numpy fallback inside), replacing an O(cells x N) box scan.
+    cells, pids, ncx, ncy = native.grid_chunk_assign(
+        points, cell=CHUNK_SIZE, margin=CONTEXT_MARGIN
+    )
+    # Home cell of every point (exact partition; boundary points clip into
+    # the last cell, which the margin-enlarged enumeration always contains).
     xy_min = xy.min(axis=0)
-    # Home cell of every point: exact partition of the scene.
-    cell = np.floor((xy - xy_min) / CHUNK_SIZE).astype(np.int64)
-    n_cells = cell.max(axis=0) + 1
-    cell_id = cell[:, 0] * n_cells[1] + cell[:, 1]
+    home = np.minimum(
+        (xy - xy_min) // CHUNK_SIZE, [ncx - 1, ncy - 1]
+    ).astype(np.int64)
+    home_id = home[:, 0] * ncy + home[:, 1]
+
+    sort = np.argsort(cells, kind="stable")
+    cells_s, pids_s = cells[sort], pids[sort]
+    uniq, starts = np.unique(cells_s, return_index=True)
+    bounds = np.append(starts, len(cells_s))
 
     out_points, out_feats, out_mask, out_idx = [], [], [], []
-    for cid in np.unique(cell_id):
-        cx, cy = divmod(int(cid), int(n_cells[1]))
-        lo = xy_min + np.array([cx, cy]) * CHUNK_SIZE
-        hi = lo + CHUNK_SIZE
-        member = np.flatnonzero(_points_in_box(xy, lo - CONTEXT_MARGIN,
-                                               hi + CONTEXT_MARGIN))
-        inner = cell_id[member] == cid
+    for ui, cid in enumerate(uniq):
+        member = pids_s[bounds[ui]:bounds[ui + 1]]
+        inner = home_id[member] == cid
+        if not inner.any():
+            continue  # margin-only cell: its points are inner elsewhere
         order = rng.permutation(len(member))
         n_chunks = -(-len(member) // npoints)
         pad = n_chunks * npoints - len(member)

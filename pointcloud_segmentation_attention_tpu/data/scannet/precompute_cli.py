@@ -27,11 +27,16 @@ def main(argv=None):
     p.add_argument("--subset", action="store_true",
                    help="first third of the scene list (ref train_subset)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_hosts", type=int, default=1,
+                   help="shard the scene list across hosts (round-robin)")
+    p.add_argument("--host_id", type=int, default=0)
     args = p.parse_args(argv)
 
     names = scenes.read_split(f"{args.data_root}/splits", args.split)
     if args.subset:
         names = names[: len(names) // 3]
+    if args.num_hosts > 1:
+        names = names[args.host_id::args.num_hosts]
     if args.split == "train":
         n = precompute.precompute_train_chunks(
             args.data_root, names, args.out_dir, args.epochs,
