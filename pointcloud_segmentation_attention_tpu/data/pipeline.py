@@ -68,15 +68,27 @@ def batched(
     batch_size: int,
     use_colors: bool,
     use_normals: bool,
+    pad_final: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Group chunks into batches of exactly ``batch_size`` (remainder dropped,
-    like the reference's fixed BATCH_SIZE=16 iterator)."""
+    """Group chunks into batches of exactly ``batch_size``.
+
+    The remainder is dropped by default (like the reference's fixed
+    BATCH_SIZE=16 train iterator); with ``pad_final=True`` (evaluation) the
+    last partial batch is padded with zero-weight, label-0 copies of its
+    first chunk — the pad rows contribute nothing to weighted losses or to
+    metrics that mask ``labels > 0``, so no val chunk is silently skipped."""
     buf: List[Dict[str, np.ndarray]] = []
     for chunk in chunk_iter:
         buf.append(chunk)
         if len(buf) == batch_size:
             yield make_batch(buf, use_colors, use_normals)
             buf = []
+    if buf and pad_final:
+        pad = dict(buf[0])
+        pad["labels"] = np.zeros_like(buf[0]["labels"])
+        pad["weights"] = np.zeros_like(buf[0]["weights"])
+        buf.extend([pad] * (batch_size - len(buf)))
+        yield make_batch(buf, use_colors, use_normals)
 
 
 _SENTINEL = object()

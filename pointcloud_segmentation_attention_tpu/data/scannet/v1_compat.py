@@ -123,4 +123,9 @@ class ScannetDatasetVirtualScan(_SceneStoreDataset):
             pts_out.append(points[idx].astype(np.float32))
             lab_out.append(labels[idx].astype(np.int32))
             w_out.append(self.labelweights[labels[idx]].astype(np.float32))
+        if not pts_out:  # degenerate scene: no camera saw >= 8 points
+            idx = self.rng.choice(len(points), self.npoints, replace=True)
+            pts_out.append(points[idx].astype(np.float32))
+            lab_out.append(labels[idx].astype(np.int32))
+            w_out.append(self.labelweights[labels[idx]].astype(np.float32))
         return np.stack(pts_out), np.stack(lab_out), np.stack(w_out)

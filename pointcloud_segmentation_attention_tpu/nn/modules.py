@@ -145,6 +145,12 @@ class SetAbstraction(nn.Module):
             new_points = jnp.concatenate([av, mx], axis=-1)
         elif pooling in ("attention", "attention_and_pool", "attention_centroid"):
             out_dim = self.mlp[-1]
+            if out_dim % 4 != 0:
+                raise ValueError(
+                    f"attention pooling needs mlp[-1] divisible by 4 "
+                    f"(heads = C/4 x key_dim 4, ref attention_layer.py:256-258); "
+                    f"got {out_dim}"
+                )
             heads = out_dim // 4
             if pooling == "attention_centroid":
                 # Query = group centroid coordinates (ref pooling_attention_layer.py:41)

@@ -100,9 +100,6 @@ def restore_checkpoint(path: str, state: Any) -> Any:
         data = {k: z[k] for k in z.files}
 
     def rebuild(tree, section):
-        flat = _flatten(tree)
-        keys = sorted(flat.keys())
-        leaves = [data[f"{section}/{k}"] for k in keys]
         # Reassemble in original tree order via tree_unflatten.
         paths = jax.tree_util.tree_flatten_with_path(tree)[0]
         ordered = []
@@ -127,7 +124,12 @@ class BestKeeper:
     def __init__(self, ckpt_dir: str, prefix: str = "best"):
         self.ckpt_dir = ckpt_dir
         self.prefix = prefix
+        # Seed from any existing best manifest so a resumed run cannot let a
+        # worse first eval overwrite (and prune) a better prior best.
         self.best = -np.inf
+        for manifest in _manifests(ckpt_dir, prefix):
+            if manifest.get("metric") is not None:
+                self.best = max(self.best, manifest["metric"])
 
     def maybe_save(self, state, step: int, metric: float) -> bool:
         if metric > self.best:

@@ -37,6 +37,7 @@ def train_classification(
     data_root: str,
     model_name: str = "cls_ssg",
     h5_list: Optional[str] = None,
+    h5_test_list: Optional[str] = None,
     num_classes: int = 40,
     npoints: int = 1024,
     batch_size: int = 16,
@@ -52,8 +53,16 @@ def train_classification(
 ):
     """Returns summary dict with best eval accuracy."""
     if h5_list:
+        if h5_test_list is None:
+            raise ValueError(
+                "h5_test_list is required with h5_list — evaluating on the "
+                "train shards would inflate accuracy and best-checkpoint "
+                "selection (the reference uses separate train/test file "
+                "lists, ref modelnet_h5_dataset.py)"
+            )
         train_ds = ModelNetH5Dataset(h5_list, batch_size, npoints, shuffle=True)
-        test_ds = ModelNetH5Dataset(h5_list, batch_size, npoints, shuffle=False)
+        test_ds = ModelNetH5Dataset(h5_test_list, batch_size, npoints,
+                                    shuffle=False)
     else:
         train_ds = ModelNetDataset(data_root, batch_size, npoints, "train",
                                    normal_channel=normal_channel, seed=seed)
@@ -151,6 +160,7 @@ def main(argv=None):
     p.add_argument("--data_root", required=True)
     p.add_argument("--model", default="cls_ssg")
     p.add_argument("--h5_list", default=None)
+    p.add_argument("--h5_test_list", default=None)
     p.add_argument("--num_point", type=int, default=1024)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--max_epoch", type=int, default=251)
@@ -161,7 +171,8 @@ def main(argv=None):
     p.add_argument("--num_votes", type=int, default=1)
     args = p.parse_args(argv)
     print(train_classification(
-        args.data_root, args.model, args.h5_list, npoints=args.num_point,
+        args.data_root, args.model, args.h5_list, args.h5_test_list,
+        npoints=args.num_point,
         batch_size=args.batch_size, epochs=args.max_epoch,
         base_lr=args.learning_rate, decay_step=args.decay_step,
         normal_channel=args.normal, log_dir=args.log_dir,

@@ -65,28 +65,6 @@ def accuracy(labels, predictions, valid_mask) -> jnp.ndarray:
     return jnp.sum(correct.astype(jnp.float32)) / n
 
 
-def point_cloud_label_to_surface_voxel_label_fast(
-    point_set: np.ndarray, label: np.ndarray, res: float = 0.0484
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Surface-voxel label downsampling for the "calibrated" voxel accuracy.
-
-    numpy port of ``pointnet2_tensorflow/scannet/pc_util.py:41-54``: voxelize
-    at ``res``, and for each occupied voxel keep the first point's label(s).
-    ``label`` may be (N,) or (N, K); returns (uvlabel, uvidx).
-    """
-    coordmax = np.max(point_set, axis=0)
-    coordmin = np.min(point_set, axis=0)
-    nvox = np.ceil((coordmax - coordmin) / res)
-    vidx = np.ceil((point_set - coordmin) / res)
-    vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
-    uvidx, vpidx = np.unique(vidx, return_index=True)
-    if label.ndim == 1:
-        uvlabel = label[vpidx]
-    else:
-        uvlabel = label[vpidx, :]
-    return uvlabel, uvidx
-
-
 class StreamingMeanIoU:
     """Host-side convenience wrapper with reset(), like the reference's
     named reset op (``train.py:158-161``)."""

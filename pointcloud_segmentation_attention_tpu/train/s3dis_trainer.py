@@ -68,6 +68,7 @@ def train_s3dis(
     state = create_state(model, tx, rng, jnp.asarray(data[:1]), train=False)
 
     mesh = parallel.make_mesh(n_devices)
+    room_eval_step = _make_eval_step(mesh)  # one compile for the whole run
     train_step = parallel.data_parallel_jit(
         lambda s, b, r: partseg_train_step(s, b, r, bn_schedule=bn),
         mesh, batch_argnums=(1,), donate_argnums=(0,),
@@ -95,7 +96,8 @@ def train_s3dis(
             steps += 1
             if max_steps and steps >= max_steps:
                 break
-        miou, acc = evaluate_rooms(state, test_rooms, num_point, batch_size, mesh)
+        miou, acc = evaluate_rooms(state, test_rooms, num_point, batch_size,
+                                   mesh, eval_step=room_eval_step)
         logger.log(steps, {"train_loss": float(np.mean(losses)) if losses else 0.0,
                            "eval_miou": miou, "eval_accuracy": acc})
         if best.maybe_save(state, steps, miou):
@@ -108,18 +110,26 @@ def train_s3dis(
     return summary
 
 
+def _make_eval_step(mesh):
+    return parallel.data_parallel_jit(
+        partseg_eval_step, mesh, batch_argnums=(1,), donate_argnums=(),
+    )
+
+
 def predict_room(state, room: np.ndarray, num_point: int, batch_size: int,
-                 mesh=None) -> Tuple[np.ndarray, np.ndarray]:
+                 mesh=None, eval_step=None) -> Tuple[np.ndarray, np.ndarray]:
     """Whole-room block inference (ref batch_inference.py:70-170):
-    returns (block_logits (K,N,13), block_labels (K,N))."""
+    returns (block_logits (K,N,13), block_labels (K,N)).
+
+    Pass ``eval_step`` (one ``_make_eval_step(mesh)``) when calling in a loop
+    — building it here per call would retrace/recompile per room."""
     data, labels = s3dis.room_to_blocks_normalized(
         room, num_point, rng=np.random.RandomState(0)
     )
     if mesh is None:
         mesh = parallel.make_mesh(1)
-    eval_step = parallel.data_parallel_jit(
-        partseg_eval_step, mesh, batch_argnums=(1,), donate_argnums=(),
-    )
+    if eval_step is None:
+        eval_step = _make_eval_step(mesh)
     n_dev = mesh.devices.size
     logits_out = []
     for start in range(0, len(data), batch_size):
@@ -135,13 +145,19 @@ def predict_room(state, room: np.ndarray, num_point: int, batch_size: int,
     return np.concatenate(logits_out), labels
 
 
-def evaluate_rooms(state, rooms, num_point, batch_size, mesh=None):
+def evaluate_rooms(state, rooms, num_point, batch_size, mesh=None,
+                   eval_step=None):
     """Accumulated 13-class mIoU + accuracy over rooms
     (ref eval_iou_accuracy.py)."""
     miou = StreamingMeanIoU(NUM_CLASSES)
     correct = total = 0
+    if mesh is None:
+        mesh = parallel.make_mesh(1)
+    if eval_step is None:
+        eval_step = _make_eval_step(mesh)
     for room in rooms:
-        logits, labels = predict_room(state, room, num_point, batch_size, mesh)
+        logits, labels = predict_room(state, room, num_point, batch_size,
+                                      mesh, eval_step)
         preds = np.argmax(logits, axis=-1)
         miou.update(labels, preds)
         correct += (preds == labels).sum()

@@ -48,6 +48,7 @@ def seg_train_step(
     dropout_rng,
     *,
     bn_schedule: Callable = schedules.scannet_bn_momentum,
+    lr_schedule: Callable = schedules.scannet_learning_rate,
     num_classes: int = 21,
 ):
     """One training step on a segmentation batch.
@@ -94,15 +95,12 @@ def seg_train_step(
         "loss": loss,
         "accuracy": metrics_lib.accuracy(batch["labels"], preds, valid),
         "confusion": confusion,
-        "learning_rate": _current_lr(state),
+        # Reported from the SAME schedule the caller built the optimizer with
+        # (a default-args recompute here would log a wrong LR for non-default
+        # batch size / scene count).
+        "learning_rate": lr_schedule(state.step),
     }
     return new_state, metrics
-
-
-def _current_lr(state: TrainState):
-    # optax injected-hyperparam schedules expose lr in opt_state; fall back to
-    # recomputing from the step for plain optimizers.
-    return schedules.scannet_learning_rate(state.step)
 
 
 def seg_eval_step(state: TrainState, batch: dict, *, num_classes: int = 21):

@@ -103,6 +103,7 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
     mesh = parallel.make_mesh(config.n_devices)
     train_step = parallel.data_parallel_jit(
         lambda s, b, r: steps.seg_train_step(s, b, r, bn_schedule=bn,
+                                             lr_schedule=lr,
                                              num_classes=config.num_classes),
         mesh, batch_argnums=(1,), donate_argnums=(0,),
     )
@@ -162,6 +163,7 @@ def evaluate(config: TrainConfig, state, eval_step, mesh, val_scenes) -> dict:
     it = pipeline.batched(
         precompute.replay_val_chunks(config.precompute_dir, val_scenes),
         config.batch_size, config.use_colors, config.use_normals,
+        pad_final=True,
     )
     for batch in pipeline.prefetch(it):
         m = eval_step(state, parallel.shard_batch(batch, mesh))

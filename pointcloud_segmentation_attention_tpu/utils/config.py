@@ -64,30 +64,34 @@ class TrainConfig:
         parser = argparse.ArgumentParser(description="TPU-native trainer")
         parser.add_argument("--config", type=str, default=None,
                             help="JSON config file to start from")
+        # Every flag defaults to SUPPRESS so the parsed namespace contains
+        # ONLY explicitly-passed flags — CLI overrides the config file, and
+        # the config file overrides the dataclass defaults (never the other
+        # way around).
         for f in dataclasses.fields(cls):
-            if f.name in ("split_dir", "precompute_dir", "ckpt_dir"):
-                default = ""
-            else:
-                default = f.default
-            t = f.type if isinstance(f.type, type) else str
             if f.type in (bool, "bool"):
-                parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
-                                    default=default)
-            elif f.type in (int, "int"):
-                parser.add_argument(f"--{f.name}", type=int, default=default)
+                parser.add_argument(
+                    f"--{f.name}",
+                    type=lambda s: s.lower() in ("1", "true", "yes"),
+                    default=argparse.SUPPRESS,
+                )
+            elif f.type in (int, "int") or f.name == "n_devices":
+                parser.add_argument(f"--{f.name}", type=int,
+                                    default=argparse.SUPPRESS)
             elif f.type in (float, "float"):
-                parser.add_argument(f"--{f.name}", type=float, default=default)
-            elif f.name == "n_devices":
-                parser.add_argument(f"--{f.name}", type=int, default=None)
+                parser.add_argument(f"--{f.name}", type=float,
+                                    default=argparse.SUPPRESS)
             else:
-                parser.add_argument(f"--{f.name}", type=str, default=default)
+                parser.add_argument(f"--{f.name}", type=str,
+                                    default=argparse.SUPPRESS)
         args = vars(parser.parse_args(argv))
+        config_path = args.pop("config", None)
         base = {}
-        if args.pop("config", None):
-            with open(args["config"]) as fh:
+        if config_path:
+            with open(config_path) as fh:
                 base = json.load(fh)
-        base.update({k: v for k, v in args.items() if v is not None and v != ""})
-        # drop empty-string defaults so __post_init__ fills them
+        base.update(args)
+        # drop empty-string values so __post_init__ derives them
         for k in ("split_dir", "precompute_dir", "ckpt_dir"):
             if not base.get(k):
                 base.pop(k, None)

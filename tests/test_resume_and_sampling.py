@@ -94,3 +94,63 @@ def test_train_step_deterministic():
         state, m = step(state, batch, jax.random.PRNGKey(7))
         losses.append(float(m["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_config_file_and_cli_precedence(tmp_path):
+    cfg = TrainConfig(data_root="/x", batch_size=32, epochs=9)
+    path = str(tmp_path / "c.json")
+    open(path, "w").write(cfg.to_json())
+    # config file values survive (not clobbered by argparse defaults)
+    c2 = TrainConfig.from_args(["--config", path])
+    assert c2.batch_size == 32 and c2.epochs == 9 and c2.data_root == "/x"
+    # CLI overrides the file
+    c3 = TrainConfig.from_args(["--config", path, "--epochs", "3"])
+    assert c3.epochs == 3 and c3.batch_size == 32
+
+
+def test_best_keeper_reseeds_from_disk(tmp_path):
+    import jax.numpy as jnp
+    import optax
+    from pointcloud_segmentation_attention_tpu.train.checkpoints import BestKeeper
+    from pointcloud_segmentation_attention_tpu.train.train_state import TrainState
+
+    state = TrainState.create(
+        lambda *a, **k: None, {"w": jnp.ones(2)}, {}, optax.adam(1e-3))
+    d = str(tmp_path / "ckpt")
+    k1 = BestKeeper(d)
+    assert k1.maybe_save(state, 1, 0.6)
+    # A fresh keeper (resumed run) must not let a worse metric clobber 0.6.
+    k2 = BestKeeper(d)
+    assert k2.best == 0.6
+    assert not k2.maybe_save(state, 2, 0.35)
+
+
+def test_batched_pad_final_keeps_tail():
+    from pointcloud_segmentation_attention_tpu.data import pipeline
+
+    chunks = [
+        {
+            "points": np.zeros((8, 3), np.float32),
+            "labels": np.full((8,), 5, np.int32),
+            "colors": np.zeros((8, 3), np.int32),
+            "normals": np.zeros((8, 3), np.float32),
+            "weights": np.ones((8,), np.float32),
+        }
+        for _ in range(5)
+    ]
+    batches = list(pipeline.batched(iter(chunks), 4, False, False,
+                                    pad_final=True))
+    assert len(batches) == 2
+    tail = batches[1]
+    # one real chunk + three zero-weight label-0 pads
+    assert (tail["labels"][0] == 5).all()
+    assert (tail["labels"][1:] == 0).all()
+    assert (tail["weights"][1:] == 0).all()
+
+
+def test_h5_trainer_requires_test_list(tmp_path):
+    from pointcloud_segmentation_attention_tpu.train.cls_trainer import (
+        train_classification,
+    )
+    with pytest.raises(ValueError):
+        train_classification("unused", h5_list="train_files.txt")
