@@ -110,13 +110,14 @@ def train_classification(
                 {"points": jnp.asarray(pts), "labels": jnp.asarray(labels)}, mesh
             )
             state, m = train_step(state, batch, dropout_rng)
-            losses.append(float(m["loss"]))
-            accs.append(float(m["accuracy"]))
+            # device scalars — fetched at epoch end, not per step
+            losses.append(m["loss"])
+            accs.append(m["accuracy"])
             steps += 1
             if max_steps and steps >= max_steps:
                 break
-        logger.log(steps, {"train_loss": np.mean(losses),
-                           "train_accuracy": np.mean(accs)})
+        logger.log(steps, {"train_loss": np.mean([float(x) for x in losses]),
+                           "train_accuracy": np.mean([float(x) for x in accs])})
         # per-epoch eval with voting (ref evaluate.py:106-155)
         n_dev = len(mesh.devices.reshape(-1))
 

@@ -80,7 +80,7 @@ def train_part_segmentation(
                 batch["cls"] = jnp.asarray(cls)
             state, m = train_step(state, parallel.shard_batch(batch, mesh),
                                   dropout_rng)
-            losses.append(float(m["loss"]))
+            losses.append(m["loss"])  # device scalar; fetched at epoch end
             steps += 1
             if max_steps and steps >= max_steps:
                 break
@@ -97,7 +97,7 @@ def train_part_segmentation(
                 acc.add_shape(logits[i], seg[i], cats[cls[i]])
         res = acc.result()
         logger.log(steps, {
-            "train_loss": float(np.mean(losses)) if losses else 0.0,
+            "train_loss": float(np.mean([float(x) for x in losses])) if losses else 0.0,
             "eval_class_avg_iou": res["class_avg_iou"],
             "eval_instance_avg_iou": res["instance_avg_iou"],
         })

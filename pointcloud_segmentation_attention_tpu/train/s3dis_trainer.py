@@ -92,13 +92,13 @@ def train_s3dis(
             }
             state, m = train_step(state, parallel.shard_batch(batch, mesh),
                                   dropout_rng)
-            losses.append(float(m["loss"]))
+            losses.append(m["loss"])  # device scalar; fetched at epoch end
             steps += 1
             if max_steps and steps >= max_steps:
                 break
         miou, acc = evaluate_rooms(state, test_rooms, num_point, batch_size,
                                    mesh, eval_step=room_eval_step)
-        logger.log(steps, {"train_loss": float(np.mean(losses)) if losses else 0.0,
+        logger.log(steps, {"train_loss": float(np.mean([float(x) for x in losses])) if losses else 0.0,
                            "eval_miou": miou, "eval_accuracy": acc})
         if best.maybe_save(state, steps, miou):
             summary["best_miou"] = miou

@@ -105,12 +105,12 @@ def train_scannet_v1(
                 "weights": jnp.asarray(w),
             }
             state, m = train_step(state, parallel.shard_batch(batch, mesh), rng)
-            losses.append(float(m["loss"]))
+            losses.append(m["loss"])  # device scalar; fetched at epoch end
             steps += 1
             if max_steps and steps >= max_steps:
                 break
         metrics = eval_whole_scenes(state, whole_ds, batch_size, mesh, eval_step)
-        metrics["train_loss"] = float(np.mean(losses)) if losses else 0.0
+        metrics["train_loss"] = float(np.mean([float(x) for x in losses])) if losses else 0.0
         logger.log(steps, metrics)
         summary.update(metrics)
         if max_steps and steps >= max_steps:
