@@ -7,11 +7,19 @@ points in order).  TPU formulation:
   matrix, which is never materialized in HBM (the pure-XLA version streams
   (B, Mc, N) chunks through HBM + a top_k).
 - In-radius mask -> in-order position via a log2(N) shift-add prefix sum
-  along the lane axis.
+  along the lane axis.  The prefix sum is the kernel's hot loop (13 full-width
+  rolls at N=8192), so it runs PACKED: two center rows share one i32 vector
+  as independent 16-bit fields (counts <= N < 2^15, so field adds never
+  carry), halving the rolled data.  The total hit count falls out of the last
+  prefix lane for free.
 - Slot extraction: for each output slot s, idx[:, s] = row-sum of
   lane_index * [mask & pos == s+1] — exactly one lane matches per row, so the
   sum is the index of the (s+1)-th in-radius point.  Padding slots (s >= cnt)
   are filled with the first hit, count clamped to nsample, empty -> 0.
+
+(Measured alternatives, kept out: an iterative min-extract/clear loop with no
+prefix sum at all carries a (Mt, N) tensor through the while_loop, which
+Mosaic spills every iteration — 13.5 ms dense vs 7.3 ms for this form.)
 """
 from __future__ import annotations
 
@@ -33,61 +41,102 @@ def _ball_query_kernel(
 ):
     # xyz_ref: (3, Np); centers_ref: (Mt, 3+pad); idx_ref: (Mt, nsample_pad);
     # cnt_ref: (Mt, 128).
+    #
+    # The Mt center rows are processed as two independent halves whose mask
+    # prefix sums share one i32 vector (low/high 16-bit fields): the prefix
+    # sum is the kernel's hot loop, and packing halves the rolled data.  The
+    # halves are split at the REF level (sublane slices of live vectors crash
+    # Mosaic's layout pass; ref slices are plain loads).
     mt = centers_ref.shape[0]
     n_pad = xyz_ref.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (mt, n_pad), 1)
+    packed = mt >= 16  # halves must stay 8-sublane-aligned
+    h = mt // 2 if packed else mt
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, n_pad), 1)
     valid = lane < n
+    px = xyz_ref[0:1, :]
+    py = xyz_ref[1:2, :]
+    pz = xyz_ref[2:3, :]
 
-    cx = centers_ref[:, 0:1]
-    cy = centers_ref[:, 1:2]
-    cz = centers_ref[:, 2:3]
-    dx = cx - xyz_ref[0:1, :]
-    dy = cy - xyz_ref[1:2, :]
-    dz = cz - xyz_ref[2:3, :]
-    d2 = dx * dx + dy * dy + dz * dz
-    mask = (d2 < r2) & valid
+    def in_radius(row0):
+        c = centers_ref[row0:row0 + h, :]
+        dx = c[:, 0:1] - px
+        dy = c[:, 1:2] - py
+        dz = c[:, 2:3] - pz
+        return (dx * dx + dy * dy + dz * dz < r2) & valid
 
-    # Prefix sum along lanes: pos[m, j] = # of in-radius points with index <= j.
-    pos = mask.astype(jnp.int32)
+    mask_lo = in_radius(0)
+    if packed:
+        mask_hi = in_radius(h)
+        p = mask_lo.astype(jnp.int32) + (mask_hi.astype(jnp.int32) << 16)
+    else:
+        mask_hi = None
+        p = mask_lo.astype(jnp.int32)
+
+    # Prefix sum along lanes: pos[m, j] = # of in-radius points with index
+    # <= j.  Counts <= N < 2^15, so the two 16-bit fields never carry.
     shift = 1
     while shift < n_pad:
-        rolled = pltpu.roll(pos, shift, axis=1)
-        pos = pos + jnp.where(lane >= shift, rolled, 0)
+        rolled = pltpu.roll(p, shift, axis=1)
+        p = p + jnp.where(lane >= shift, rolled, 0)
         shift *= 2
 
-    total = jnp.max(jnp.where(mask, pos, 0), axis=1, keepdims=True)  # (Mt, 1)
-    cnt = jnp.minimum(total, nsample)
+    out_lane = jax.lax.broadcasted_iota(jnp.int32, (h, nsample_pad), 1)
 
-    # Capped position: points beyond the first nsample are dropped.
-    sel_pos = jnp.where(mask & (pos <= nsample), pos, 0)  # 1-based slot, 0=none
-    lane_i32 = lane
+    def finalize(pos, mask):
+        # pos is nondecreasing along lanes, so its row max IS the hit count.
+        cnt = jnp.minimum(jnp.max(pos, axis=1, keepdims=True), nsample)
+        # Capped position: points beyond the first nsample are dropped.
+        sel = jnp.where(mask & (pos <= nsample), pos, 0)  # 1-based, 0=none
+        first_hit = jnp.sum(jnp.where(sel == 1, lane, 0), axis=1,
+                            keepdims=True)  # (h, 1); 0 when no hits
+        init = jnp.where(out_lane < nsample,
+                         jnp.broadcast_to(first_hit, (h, nsample_pad)), 0)
+        return cnt, sel, init
 
-    first_hit = jnp.sum(
-        jnp.where(sel_pos == 1, lane_i32, 0), axis=1, keepdims=True
-    )  # (Mt, 1); 0 when no hits
+    cnt_lo, sel_lo, init_lo = finalize(p & 0xFFFF if packed else p, mask_lo)
+    if packed:
+        cnt_hi, sel_hi, init_hi = finalize(p >> 16, mask_hi)
+        cnt_max = jnp.maximum(jnp.max(cnt_lo), jnp.max(cnt_hi))
+    else:
+        cnt_hi = sel_hi = init_hi = None
+        cnt_max = jnp.max(cnt_lo)
 
     # Slot extraction, bounded by the tile's max hit count: every slot s >=
     # cnt[m] is a repeat of the first hit (the CUDA padding rule), so only
     # slots < max(cnt) need a lane reduction at all.  With sparse balls (the
     # common case: ~4 hits among 8192 points at SA level 1 on real chunk
     # geometry) this turns 32 full-width reduction passes into ~4.
-    out_lane = jax.lax.broadcasted_iota(jnp.int32, (mt, nsample_pad), 1)
-    init = jnp.where(out_lane < nsample,
-                     jnp.broadcast_to(first_hit, (mt, nsample_pad)), 0)
-    cnt_max = jnp.max(cnt)
-
-    def slot_body(state):
-        s, idxs = state
-        idx_s = jnp.sum(jnp.where(sel_pos == s + 1, lane_i32, 0), axis=1,
+    def extract(sel, cnt, idxs, s):
+        idx_s = jnp.sum(jnp.where(sel == s + 1, lane, 0), axis=1,
                         keepdims=True)
-        idxs = jnp.where((out_lane == s) & (cnt > s), idx_s, idxs)
-        return s + 1, idxs
+        return jnp.where((out_lane == s) & (cnt > s), idx_s, idxs)
 
-    _, idxs = jax.lax.while_loop(
-        lambda state: state[0] < cnt_max, slot_body, (jnp.int32(1), init)
-    )
-    idx_ref[...] = idxs
-    cnt_ref[...] = jnp.broadcast_to(cnt, cnt_ref.shape)
+    if packed:
+        def slot_body(state):
+            s, ilo, ihi = state
+            return s + 1, extract(sel_lo, cnt_lo, ilo, s), \
+                extract(sel_hi, cnt_hi, ihi, s)
+
+        _, idxs_lo, idxs_hi = jax.lax.while_loop(
+            lambda state: state[0] < cnt_max, slot_body,
+            (jnp.int32(1), init_lo, init_hi),
+        )
+        idx_ref[0:h, :] = idxs_lo
+        idx_ref[h:mt, :] = idxs_hi
+        cnt_ref[0:h, :] = jnp.broadcast_to(cnt_lo, (h, cnt_ref.shape[1]))
+        cnt_ref[h:mt, :] = jnp.broadcast_to(cnt_hi, (h, cnt_ref.shape[1]))
+    else:
+        def slot_body(state):
+            s, idxs = state
+            return s + 1, extract(sel_lo, cnt_lo, idxs, s)
+
+        _, idxs = jax.lax.while_loop(
+            lambda state: state[0] < cnt_max, slot_body,
+            (jnp.int32(1), init_lo),
+        )
+        idx_ref[...] = idxs
+        cnt_ref[...] = jnp.broadcast_to(cnt_lo, cnt_ref.shape)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
