@@ -34,6 +34,7 @@ from pointcloud_segmentation_attention_tpu.data.scannet.scenes import (  # noqa:
     load_scene,
     load_scene_mapped,
     make_synthetic_scene,
+    official_splits_dir,
     read_split,
     save_scene,
     write_split,

@@ -46,9 +46,19 @@ def load_scene_mapped(data_root: str, scene_name: str) -> Dict[str, np.ndarray]:
     return scene
 
 
-def read_split(split_dir: str, split: str) -> List[str]:
+def official_splits_dir() -> str:
+    """Directory of the vendored official ScanNet v2 split lists
+    (1201 train / 312 val / 100 test scene names, the same public metadata
+    the reference ships at ``attention_points/scannet_dataset/splits/``)."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "splits")
+
+
+def read_split(split_dir: Optional[str] = None, split: str = "train") -> List[str]:
     """Scene names of one split (ref generator_dataset.py:12-43 reads
-    ``splits/scannetv2_{split}.txt``)."""
+    ``splits/scannetv2_{split}.txt``).  With ``split_dir=None`` the vendored
+    official v2 lists are used."""
+    if split_dir is None:
+        split_dir = official_splits_dir()
     with open(os.path.join(split_dir, f"scannetv2_{split}.txt")) as f:
         return [line.strip() for line in f if line.strip()]
 

@@ -149,3 +149,90 @@ def write_synthetic_shapenet_part(
         with open(os.path.join(root, "train_test_split",
                                f"shuffled_{split}_file_list.json"), "w") as f:
             json.dump(entries, f)
+
+
+# ---------------------------------------------------------------------------
+# HDF5 flow used by the PointNet v1 part-seg subtree
+# (ref ``pointnet1/part_seg/train.py``: ``provider.loadDataFile_with_seg``
+# over ``train_hdf5_file_list.txt`` / ``val_hdf5_file_list.txt``; each h5
+# shard holds ``data`` (S,N,3), ``label`` (S,1) object class, ``pid`` (S,N)
+# per-point part id).
+# ---------------------------------------------------------------------------
+
+def load_h5_with_seg(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data (S,N,3) f32, label (S,) i32, seg (S,N) i32) from one h5 shard."""
+    import h5py  # optional dependency, only for this loader
+
+    with h5py.File(path, "r") as h5:
+        data = np.asarray(h5["data"], np.float32)
+        label = np.asarray(h5["label"], np.int32).reshape(-1)
+        seg = np.asarray(h5["pid"], np.int32)
+    return data, label, seg
+
+
+class ShapeNetPartH5Dataset:
+    """File-list h5 dataset for the v1 joint part-seg trainer.
+
+    ``list_path`` is a text file of h5 shard paths (relative to its own
+    directory, like the reference's ``train_hdf5_file_list.txt``).  Batches
+    are fixed-shape; within each shard the shape order is shuffled when
+    ``shuffle`` (ref ``provider.shuffle_data``); the ragged per-shard tail is
+    dropped like the reference (``num_batch = num_data // batch_size``).
+    """
+
+    def __init__(self, list_path: str, batch_size: int, npoints: int = 2048,
+                 shuffle: bool = True, seed: int = 0):
+        self.root = os.path.dirname(os.path.abspath(list_path))
+        with open(list_path) as f:
+            self.files = [os.path.join(self.root, line.strip())
+                          for line in f if line.strip()]
+        self.batch_size = batch_size
+        self.npoints = npoints
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+
+    def batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yields (points (B,n,3), cls (B,), seg (B,n))."""
+        file_order = (self.rng.permutation(len(self.files)) if self.shuffle
+                      else np.arange(len(self.files)))
+        for fi in file_order:
+            data, label, seg = load_h5_with_seg(self.files[fi])
+            n = min(self.npoints, data.shape[1])
+            data, seg = data[:, :n], seg[:, :n]
+            order = (self.rng.permutation(len(label)) if self.shuffle
+                     else np.arange(len(label)))
+            for start in range(0, len(order) - self.batch_size + 1,
+                               self.batch_size):
+                sel = order[start:start + self.batch_size]
+                yield data[sel], label[sel], seg[sel]
+
+
+def write_synthetic_shapenet_part_h5(
+    root: str, n_shards: int = 2, shapes_per_shard: int = 8,
+    n_points: int = 256, cat_num: int = 16, seed: int = 0,
+) -> Tuple[str, str]:
+    """Miniature h5 ShapeNet-Part in the v1 subtree's layout (for tests).
+    Returns (train_list_path, val_list_path)."""
+    import h5py
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(root, exist_ok=True)
+    names = []
+    for s in range(n_shards + 1):  # last shard is the val list
+        pts = rng.randn(shapes_per_shard, n_points, 3).astype(np.float32)
+        label = rng.randint(0, cat_num, shapes_per_shard).astype(np.int32)
+        # part id = class-dependent z-halfspace so the task is learnable
+        seg = (pts[..., 2] > 0).astype(np.int32) + 2 * label[:, None]
+        name = os.path.join(root, f"ply_data_{s}.h5")
+        with h5py.File(name, "w") as h5:
+            h5.create_dataset("data", data=pts)
+            h5.create_dataset("label", data=label[:, None])
+            h5.create_dataset("pid", data=seg)
+        names.append(os.path.basename(name))
+    train_list = os.path.join(root, "train_hdf5_file_list.txt")
+    val_list = os.path.join(root, "val_hdf5_file_list.txt")
+    with open(train_list, "w") as f:
+        f.write("\n".join(names[:-1]) + "\n")
+    with open(val_list, "w") as f:
+        f.write(names[-1] + "\n")
+    return train_list, val_list

@@ -48,6 +48,7 @@ _REGISTRY: Dict[str, Callable[..., Any]] = {
     "pointnet1_cls_basic": pointnet1.PointNetClsBasic,
     "pointnet1_cls": pointnet1.PointNetCls,
     "pointnet1_seg": pointnet1.PointNetSeg,
+    "pointnet1_part_seg": pointnet1.PointNetPartSegJoint,
     "pointnet1_sem_seg": pointnet1.PointNetSemSeg,
 }
 

@@ -28,28 +28,31 @@ from pointcloud_segmentation_attention_tpu.nn import Dropout, PointConv
 
 
 class TransformNet(nn.Module):
-    """T-Net: per-point MLP (64,128,1024) -> max pool -> FC (512,256) -> KxK
-    matrix initialized to identity (zero weights + identity bias)."""
+    """T-Net: per-point MLP -> max pool -> FC stack -> KxK matrix initialized
+    to identity (zero weights + identity bias).  Default widths match the
+    cls/seg T-Nets (ref ``pointnet1/models/transform_nets.py:10-60``); the
+    joint part-seg model uses narrower stacks
+    (ref ``pointnet1/part_seg/pointnet_part_seg.py:12-76``)."""
 
     k: int
+    mlp: tuple = (64, 128, 1024)
+    fc: tuple = (512, 256)
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool, bn_momentum):
         dd = self.compute_dtype
         b = x.shape[0]
-        for i, f in enumerate((64, 128, 1024)):
+        for i, f in enumerate(self.mlp):
             x = PointConv(f, bn=True, compute_dtype=dd, name=f"tconv{i + 1}")(
                 x, train=train, bn_momentum=bn_momentum
             )
-        x = jnp.max(x, axis=1)  # (B, 1024)
-        x = PointConv(512, bn=True, compute_dtype=dd, name="tfc1")(
-            x, train=train, bn_momentum=bn_momentum
-        )
-        x = PointConv(256, bn=True, compute_dtype=dd, name="tfc2")(
-            x, train=train, bn_momentum=bn_momentum
-        )
-        w = self.param("transform_w", nn.initializers.zeros, (256, self.k * self.k), jnp.float32)
+        x = jnp.max(x, axis=1)  # (B, mlp[-1])
+        for i, f in enumerate(self.fc):
+            x = PointConv(f, bn=True, compute_dtype=dd, name=f"tfc{i + 1}")(
+                x, train=train, bn_momentum=bn_momentum
+            )
+        w = self.param("transform_w", nn.initializers.zeros, (self.fc[-1], self.k * self.k), jnp.float32)
         bias = self.param("transform_b", nn.initializers.zeros, (self.k * self.k,), jnp.float32)
         eye = jnp.eye(self.k, dtype=jnp.float32).reshape(-1)
         t = x.astype(jnp.float32) @ w + bias + eye
@@ -210,3 +213,87 @@ class PointNetSemSeg(nn.Module):
         x = Dropout(0.3, name="dp1")(x, deterministic=not train)
         return PointConv(self.num_classes, bn=False, activation=None,
                          compute_dtype=dd, name="conv8")(x, train=train)
+
+
+class PointNetPartSegJoint(nn.Module):
+    """Joint classification + part-segmentation PointNet v1.
+
+    Equivalent of the reference's part-seg subtree model
+    (``pointnet1/part_seg/pointnet_part_seg.py:79-136`` ``get_model``):
+    input T-Net (3x3, narrow FC 128/128), three per-point convs whose
+    activations are all kept for the seg head, a 128x128 feature T-Net
+    (conv 256/1024, FC 512/256), conv 512/2048 + global max pool; a
+    classification head (FC 256/256, dropout keep 0.7, ``cat_num``) and a
+    segmentation head that concatenates the tiled [global feat ++ one-hot
+    object class] with every intermediate activation (out1..out5), then
+    conv 256 / drop / 256 / drop / 128 / ``part_num`` (dropout keep 0.8).
+
+    Returns ``(cls_logits, seg_logits, end_points)`` with
+    ``end_points['transform']`` = the 128x128 feature transform for the
+    orthogonality regularizer (``get_loss`` ref :138-158).
+    """
+
+    cat_num: int = 16
+    part_num: int = 50
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, cls_onehot, *, train: bool = True, bn_momentum=0.9):
+        dd = self.compute_dtype
+        b, n, _ = xyz.shape
+        t_in = TransformNet(3, mlp=(64, 128, 1024), fc=(128, 128),
+                            compute_dtype=dd, name="transform_net1")(
+            xyz, train=train, bn_momentum=bn_momentum
+        )
+        x = jnp.einsum("bni,bij->bnj", xyz, t_in)
+        out1 = PointConv(64, bn=True, compute_dtype=dd, name="conv1")(
+            x, train=train, bn_momentum=bn_momentum
+        )
+        out2 = PointConv(128, bn=True, compute_dtype=dd, name="conv2")(
+            out1, train=train, bn_momentum=bn_momentum
+        )
+        out3 = PointConv(128, bn=True, compute_dtype=dd, name="conv3")(
+            out2, train=train, bn_momentum=bn_momentum
+        )
+        t_feat = TransformNet(128, mlp=(256, 1024), fc=(512, 256),
+                              compute_dtype=dd, name="transform_net2")(
+            out3, train=train, bn_momentum=bn_momentum
+        )
+        net_transformed = jnp.einsum("bni,bij->bnj", out3, t_feat)
+        out4 = PointConv(512, bn=True, compute_dtype=dd, name="conv4")(
+            net_transformed, train=train, bn_momentum=bn_momentum
+        )
+        out5 = PointConv(2048, bn=True, compute_dtype=dd, name="conv5")(
+            out4, train=train, bn_momentum=bn_momentum
+        )
+        out_max = jnp.max(out5, axis=1)  # (B, 2048)
+
+        # classification head (ref :115-121)
+        c = PointConv(256, bn=True, compute_dtype=dd, name="cla_fc1")(
+            out_max, train=train, bn_momentum=bn_momentum
+        )
+        c = PointConv(256, bn=True, compute_dtype=dd, name="cla_fc2")(
+            c, train=train, bn_momentum=bn_momentum
+        )
+        c = Dropout(0.3, name="cla_dp1")(c, deterministic=not train)
+        cls_logits = PointConv(self.cat_num, bn=False, activation=None,
+                               compute_dtype=dd, name="cla_fc3")(c, train=train)
+
+        # segmentation head: tiled [global ++ one-hot] ++ out1..out5 (ref :123-133)
+        g = jnp.concatenate([out_max, cls_onehot.astype(out_max.dtype)], axis=-1)
+        expand = jnp.broadcast_to(g[:, None, :], (b, n, g.shape[-1]))
+        s = jnp.concatenate([expand, out1, out2, out3, out4, out5], axis=-1)
+        s = PointConv(256, bn=True, compute_dtype=dd, name="seg_conv1")(
+            s, train=train, bn_momentum=bn_momentum
+        )
+        s = Dropout(0.2, name="seg_dp1")(s, deterministic=not train)
+        s = PointConv(256, bn=True, compute_dtype=dd, name="seg_conv2")(
+            s, train=train, bn_momentum=bn_momentum
+        )
+        s = Dropout(0.2, name="seg_dp2")(s, deterministic=not train)
+        s = PointConv(128, bn=True, compute_dtype=dd, name="seg_conv3")(
+            s, train=train, bn_momentum=bn_momentum
+        )
+        seg_logits = PointConv(self.part_num, bn=False, activation=None,
+                               compute_dtype=dd, name="seg_conv4")(s, train=train)
+        return cls_logits, seg_logits, {"transform": t_feat}

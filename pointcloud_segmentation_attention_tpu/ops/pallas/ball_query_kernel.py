@@ -49,7 +49,10 @@ def _ball_query_kernel(
     # Mosaic's layout pass; ref slices are plain loads).
     mt = centers_ref.shape[0]
     n_pad = xyz_ref.shape[1]
-    packed = mt >= 16  # halves must stay 8-sublane-aligned
+    # Packing puts two rows' prefix counts in one i32 as 16-bit fields; that
+    # is only carry-free while counts <= N < 2^15.  Larger N falls back to
+    # the unpacked (one row per i32) prefix sum — slower but exact.
+    packed = mt >= 16 and n < (1 << 15)  # halves must stay 8-sublane-aligned
     h = mt // 2 if packed else mt
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (h, n_pad), 1)

@@ -54,19 +54,21 @@ def cls_train_step(
         else:
             logits, end_points = out, {}
         loss = losses_lib.mean_softmax_cross_entropy(logits, batch["labels"])
+        ortho = jnp.float32(0.0)
         if reg_weight and "transform" in end_points:
-            loss = loss + reg_weight * pn1.orthogonality_loss(
+            ortho = pn1.orthogonality_loss(
                 end_points["transform"].astype(jnp.float32)
             )
-        return loss, (logits, mutated["batch_stats"])
+            loss = loss + reg_weight * ortho
+        return loss, (logits, ortho, mutated["batch_stats"])
 
-    (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params
-    )
+    (loss, (logits, ortho, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
     new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
     preds = jnp.argmax(logits, axis=-1)
     acc = jnp.mean((preds == batch["labels"]).astype(jnp.float32))
-    return new_state, {"loss": loss, "accuracy": acc}
+    return new_state, {"loss": loss, "accuracy": acc, "ortho_loss": ortho}
 
 
 def cls_eval_step(state: TrainState, batch: dict):
@@ -89,8 +91,16 @@ def partseg_train_step(
     dropout_rng,
     *,
     bn_schedule: Callable = schedules.upstream_bn_momentum,
+    reg_weight: float = 0.0,
 ):
-    """Part-seg step (mean CE over all points, ref part_seg/train.py)."""
+    """Part-seg step (mean CE over all points, ref part_seg/train.py).
+
+    Handles both plain-logits models (PointNet++ part-seg) and
+    ``(logits, end_points)`` models (PointNet v1 ``PointNetSeg``); with
+    ``reg_weight`` the v1 T-Net orthogonality regularizer is applied like
+    the reference's v1 part-seg loss (``pointnet1/part_seg/pointnet_part_seg.py``
+    ``get_loss``: ``mat_diff_loss * 1e-3``).
+    """
     bn_momentum = bn_schedule(state.step)
     rng = jax.random.fold_in(dropout_rng, state.step)
     has_cls = "cls" in batch
@@ -98,24 +108,35 @@ def partseg_train_step(
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
         args = (batch["points"], batch["cls"]) if has_cls else (batch["points"],)
-        logits, mutated = state.apply_fn(
+        out, mutated = state.apply_fn(
             variables, *args, train=True, bn_momentum=bn_momentum,
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
+        if isinstance(out, tuple):  # PointNet v1: (logits, end_points)
+            logits, end_points = out
+        else:
+            logits, end_points = out, {}
         loss = losses_lib.mean_softmax_cross_entropy(logits, batch["labels"])
-        return loss, (logits, mutated["batch_stats"])
+        ortho = jnp.float32(0.0)
+        if reg_weight and "transform" in end_points:
+            ortho = pn1.orthogonality_loss(
+                end_points["transform"].astype(jnp.float32)
+            )
+            loss = loss + reg_weight * ortho
+        return loss, (logits, ortho, mutated["batch_stats"])
 
-    (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params
-    )
+    (loss, (logits, ortho, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
     new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
     preds = jnp.argmax(logits, axis=-1)
     acc = jnp.mean((preds == batch["labels"]).astype(jnp.float32))
-    return new_state, {"loss": loss, "accuracy": acc}
+    return new_state, {"loss": loss, "accuracy": acc, "ortho_loss": ortho}
 
 
 def partseg_eval_step(state: TrainState, batch: dict):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     args = (batch["points"], batch["cls"]) if "cls" in batch else (batch["points"],)
-    logits = state.apply_fn(variables, *args, train=False)
+    out = state.apply_fn(variables, *args, train=False)
+    logits = out[0] if isinstance(out, tuple) else out
     return {"logits": logits, "predictions": jnp.argmax(logits, axis=-1)}

@@ -50,8 +50,17 @@ def train_classification(
     n_devices: Optional[int] = None,
     seed: int = 0,
     max_steps: Optional[int] = None,
+    reg_weight: Optional[float] = None,
 ):
-    """Returns summary dict with best eval accuracy."""
+    """Returns summary dict with best eval accuracy.
+
+    ``reg_weight`` scales the T-Net orthogonality regularizer; ``None``
+    auto-selects 0.001 for T-Net models (``pointnet1_cls``), matching the
+    reference's always-applied ``reg_weight=0.001``
+    (``pointnet1/models/pointnet_cls.py:77-92``), and 0 otherwise.
+    """
+    if reg_weight is None:
+        reg_weight = 0.001 if model_name == "pointnet1_cls" else 0.0
     if h5_list:
         if h5_test_list is None:
             raise ValueError(
@@ -89,7 +98,8 @@ def train_classification(
 
     mesh = parallel.make_mesh(n_devices)
     train_step = parallel.data_parallel_jit(
-        lambda s, b, r: cls_train_step(s, b, r, bn_schedule=bn),
+        lambda s, b, r: cls_train_step(s, b, r, bn_schedule=bn,
+                                       reg_weight=reg_weight),
         mesh, batch_argnums=(1,), donate_argnums=(0,),
     )
     eval_step = parallel.data_parallel_jit(
@@ -103,7 +113,7 @@ def train_classification(
     summary = {}
     for epoch in range(epochs):
         train_ds.reset()
-        losses, accs = [], []
+        losses, accs, orthos = [], [], []
         while train_ds.has_next_batch():
             pts, labels, _ = train_ds.next_batch(augment_data=True)
             batch = parallel.shard_batch(
@@ -113,20 +123,26 @@ def train_classification(
             # device scalars — fetched at epoch end, not per step
             losses.append(m["loss"])
             accs.append(m["accuracy"])
+            orthos.append(m["ortho_loss"])
             steps += 1
             if max_steps and steps >= max_steps:
                 break
         logger.log(steps, {"train_loss": np.mean([float(x) for x in losses]),
-                           "train_accuracy": np.mean([float(x) for x in accs])})
+                           "train_accuracy": np.mean([float(x) for x in accs]),
+                           "train_ortho_loss": np.mean([float(x) for x in orthos])})
+        if orthos:
+            summary["last_ortho_loss"] = float(orthos[-1])
         # per-epoch eval with voting (ref evaluate.py:106-155)
-        n_dev = len(mesh.devices.reshape(-1))
-
         def predict_fn(points_np):
             n = len(points_np)
-            pad = (-n) % n_dev  # pad to a shardable batch
-            if pad:
+            # Pad the remainder batch up to the FIXED train batch size (or a
+            # multiple of it): padding only to an n_devices multiple would
+            # give the final ragged batch its own XLA compile per distinct
+            # size.  batch_size is already a multiple of n_devices.
+            target = -(-n // batch_size) * batch_size
+            if target != n:
                 points_np = np.concatenate(
-                    [points_np, np.repeat(points_np[-1:], pad, axis=0)]
+                    [points_np, np.repeat(points_np[-1:], target - n, axis=0)]
                 )
             b = {"points": jnp.asarray(points_np),
                  "labels": jnp.zeros(len(points_np), jnp.int32)}

@@ -39,11 +39,24 @@ def train_part_segmentation(
     n_devices: Optional[int] = None,
     seed: int = 0,
     max_steps: Optional[int] = None,
+    reg_weight: Optional[float] = None,
 ):
+    """``reg_weight=None`` auto-selects 0.001 for the T-Net model
+    (``pointnet1_seg``), matching the reference v1 part-seg loss
+    (``pointnet1/part_seg/pointnet_part_seg.py`` ``mat_diff_loss * 1e-3``)."""
     one_hot = model_name == "part_seg_msg_one_hot"
+    is_v1 = model_name == "pointnet1_seg"  # xyz-only input, (logits, end_points)
+    if reg_weight is None:
+        reg_weight = 0.001 if is_v1 else 0.0
     train_ds = PartNormalDataset(data_root, npoints, split="trainval", seed=seed)
     test_ds = PartNormalDataset(data_root, npoints, split="test", seed=seed)
     model = models.get_model(model_name)
+
+    def _points(pts):
+        # PointNet v1 consumes xyz only (ref pointnet1/part_seg/train.py
+        # placeholder (B, N, 3)); PointNet++ part-seg takes xyz+normals.
+        a = np.asarray(pts)
+        return jnp.asarray(a[..., :3] if is_v1 else a)
 
     lr = lambda step: schedules.upstream_learning_rate(step, base_lr, batch_size)
     bn = lambda step: schedules.upstream_bn_momentum(step, batch_size)
@@ -52,14 +65,15 @@ def train_part_segmentation(
     pts0, seg0, cls0, _ = next(train_ds.batches(batch_size, shuffle=False))
     rng = jax.random.PRNGKey(seed)
     if one_hot:
-        state = create_state(model, tx, rng, jnp.asarray(pts0),
+        state = create_state(model, tx, rng, _points(pts0),
                              jnp.asarray(cls0), train=False)
     else:
-        state = create_state(model, tx, rng, jnp.asarray(pts0), train=False)
+        state = create_state(model, tx, rng, _points(pts0), train=False)
 
     mesh = parallel.make_mesh(n_devices)
     train_step = parallel.data_parallel_jit(
-        lambda s, b, r: partseg_train_step(s, b, r, bn_schedule=bn),
+        lambda s, b, r: partseg_train_step(s, b, r, bn_schedule=bn,
+                                           reg_weight=reg_weight),
         mesh, batch_argnums=(1,), donate_argnums=(0,),
     )
     eval_step = parallel.data_parallel_jit(
@@ -73,21 +87,24 @@ def train_part_segmentation(
     steps = 0
     summary = {}
     for epoch in range(epochs):
-        losses = []
+        losses, orthos = [], []
         for pts, seg, cls, _ in train_ds.batches(batch_size):
-            batch = {"points": jnp.asarray(pts), "labels": jnp.asarray(seg)}
+            batch = {"points": _points(pts), "labels": jnp.asarray(seg)}
             if one_hot:
                 batch["cls"] = jnp.asarray(cls)
             state, m = train_step(state, parallel.shard_batch(batch, mesh),
                                   dropout_rng)
             losses.append(m["loss"])  # device scalar; fetched at epoch end
+            orthos.append(m["ortho_loss"])
             steps += 1
             if max_steps and steps >= max_steps:
                 break
+        if orthos:
+            summary["last_ortho_loss"] = float(orthos[-1])
         # eval: per-category part IoU (ref part_seg/train.py:223-306)
         acc = PartIoUAccumulator()
         for pts, seg, cls, bsize in test_ds.batches(batch_size, shuffle=False):
-            batch = {"points": jnp.asarray(pts), "labels": jnp.asarray(seg)}
+            batch = {"points": _points(pts), "labels": jnp.asarray(seg)}
             if one_hot:
                 batch["cls"] = jnp.asarray(cls)
             logits = np.asarray(

@@ -93,11 +93,18 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
     train_iter = pipeline.prefetch(_device_batches(), depth=4)
 
     first = next(train_iter)
-    state = create_state(
-        model, tx, rng,
-        first["points"][:1], first.get("features", [None])[:1] if use_features else None,
-        train=False,
-    )
+    if use_features:
+        if "features" not in first:
+            raise ValueError(
+                "use_colors/use_normals is set but the precomputed batches "
+                "carry no 'features' array — re-run precompute with the "
+                "feature columns enabled"
+            )
+        feats0 = first["features"][:1]
+    else:
+        feats0 = None
+    state = create_state(model, tx, rng, first["points"][:1], feats0,
+                         train=False)
     if config.resume:
         # Continue from the newest checkpoint — periodic if present, else the
         # best-val one (the reference resumed by hand-loading a checkpoint
@@ -127,15 +134,20 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
     total_steps = max_steps or config.epochs * steps_per_epoch
     batch = first
     summary = {}
-    conf_acc = None  # on-device confusion accumulator — fetched once/epoch
+    # On-device epoch accumulators — fetched once per epoch.  A per-step host
+    # fetch would serialize every step on a device->host round trip (measured
+    # 354k -> >1M points/sec end-to-end by batching it).  loss/accuracy are
+    # epoch MEANS like the reference's per-epoch averages
+    # (ref attention_points/train.py:365-387), not the last step's values.
+    conf_acc = None
+    loss_acc = acc_acc = None
     epoch_t0 = time.perf_counter()
     for step_idx in range(total_steps):
         state, m = train_step(state, batch, dropout_rng)
         batch = next(train_iter)  # already on device (prefetch thread)
-        # Accumulate the confusion ON DEVICE (async dispatch): a per-step
-        # host fetch would serialize every step on a device->host round trip
-        # (measured 354k -> >1M points/sec end-to-end by batching it).
         conf_acc = m["confusion"] if conf_acc is None else conf_acc + m["confusion"]
+        loss_acc = m["loss"] if loss_acc is None else loss_acc + m["loss"]
+        acc_acc = m["accuracy"] if acc_acc is None else acc_acc + m["accuracy"]
 
         epoch_end = (step_idx + 1) % steps_per_epoch == 0
         if epoch_end:
@@ -147,8 +159,8 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
             steps_this_epoch = steps_per_epoch if step_idx + 1 >= steps_per_epoch \
                 else (step_idx + 1)
             logger.log(step_idx + 1, {
-                "train_loss": float(m["loss"]),
-                "train_accuracy": float(m["accuracy"]),
+                "train_loss": float(loss_acc) / steps_this_epoch,
+                "train_accuracy": float(acc_acc) / steps_this_epoch,
                 "train_miou": miou,
                 "learning_rate": float(m["learning_rate"]),
                 # honest end-to-end rate: epoch wall time incl. host pipeline
@@ -157,6 +169,7 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
             })
             epoch_t0 = time.perf_counter()
             train_miou.reset()
+            loss_acc = acc_acc = None
             if config.save_every_epochs and epoch % config.save_every_epochs == 0:
                 save_checkpoint(config.ckpt_dir, state, step_idx + 1)
             if epoch % config.n_epochs_to_val == 0:
@@ -173,22 +186,29 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
 def evaluate(config: TrainConfig, state, eval_step, mesh, val_scenes) -> dict:
     """Full val pass over precomputed val chunks (ref eval_model :221-285)."""
     miou = StreamingMeanIoU(config.num_classes)
-    losses, accs = [], []
     it = pipeline.batched(
         precompute.replay_val_chunks(config.precompute_dir, val_scenes),
         config.batch_size, config.use_colors, config.use_normals,
         pad_final=True,
     )
+    # Accumulate loss/accuracy/confusion ON DEVICE and fetch once at the end
+    # of the pass — a per-batch float() would re-introduce the host sync the
+    # train loop removed (one sync per val pass, not per batch).
+    conf = loss_sum = acc_sum = None
+    n_batches = 0
     for batch in pipeline.prefetch(it):
         m = eval_step(state, parallel.shard_batch(batch, mesh))
-        miou.update_confusion(m["confusion"])
-        losses.append(float(m["loss"]))
-        accs.append(float(m["accuracy"]))
+        conf = m["confusion"] if conf is None else conf + m["confusion"]
+        loss_sum = m["loss"] if loss_sum is None else loss_sum + m["loss"]
+        acc_sum = m["accuracy"] if acc_sum is None else acc_sum + m["accuracy"]
+        n_batches += 1
+    if n_batches:
+        miou.update_confusion(conf)
     mean_iou, _ = miou.result()
     return {
         "miou": mean_iou,
-        "loss": float(np.mean(losses)) if losses else 0.0,
-        "accuracy": float(np.mean(accs)) if accs else 0.0,
+        "loss": float(loss_sum) / n_batches if n_batches else 0.0,
+        "accuracy": float(acc_sum) / n_batches if n_batches else 0.0,
     }
 
 

@@ -76,6 +76,10 @@ def train_scannet_v1(
 
     example = jnp.zeros((1, npoints, 3), jnp.float32)
     state = create_state(model, tx, rng, example, None, train=False)
+    # Unified rng hygiene: the per-step dropout key is folded from a
+    # dedicated branch of the init key (the step fold happens inside the
+    # train step), never the raw PRNGKey that seeded the params.
+    dropout_rng = jax.random.fold_in(rng, 999)
     mesh = parallel.make_mesh(n_devices)
     train_step = parallel.data_parallel_jit(
         lambda s, b, r: seg_train_step(s, b, r, bn_schedule=bn),
@@ -104,7 +108,8 @@ def train_scannet_v1(
                 "labels": jnp.asarray(lab),
                 "weights": jnp.asarray(w),
             }
-            state, m = train_step(state, parallel.shard_batch(batch, mesh), rng)
+            state, m = train_step(state, parallel.shard_batch(batch, mesh),
+                                  dropout_rng)
             losses.append(m["loss"])  # device scalar; fetched at epoch end
             steps += 1
             if max_steps and steps >= max_steps:

@@ -216,3 +216,16 @@ def test_random_z_rotation_rotates_normals_consistently():
     np.testing.assert_allclose(
         np.sum(r_pts * r_nrm, -1), np.sum(pts * nrm, -1), atol=1e-3
     )
+
+
+def test_official_splits_vendored():
+    """The official ScanNet v2 split lists load with no arguments
+    (1201/312/100 scenes, ref attention_points/scannet_dataset/splits/)."""
+    from pointcloud_segmentation_attention_tpu.data import scannet as sc
+
+    train = sc.read_split()
+    val = sc.read_split(None, "val")
+    test = sc.read_split(None, "test")
+    assert len(train) == 1201 and len(val) == 312 and len(test) == 100
+    assert all(n.startswith("scene") for n in train[:5] + val[:5] + test[:5])
+    assert not (set(train) & set(val))

@@ -82,3 +82,17 @@ def test_dispatch_modes(rng):
     b = np.asarray(ops.geometry.farthest_point_sample(xyz, 8))
     np.testing.assert_array_equal(a, b)
     assert ops.get_backend() == "auto"
+
+
+def test_ball_query_pallas_large_n_unpacked(rng):
+    """N >= 2^15 disables the 16-bit prefix packing (counts would overflow
+    the field); the unpacked path must stay oracle-exact.  Regression for
+    the silent-corruption regime flagged in round 1."""
+    n = (1 << 15) + 256  # 33024 points
+    xyz = rng.rand(1, n, 3).astype(np.float32) * 0.2  # dense: counts >> 2^15/2
+    centers = xyz[:, :8, :].copy()
+    gi, gc = ball_query_pallas(jnp.asarray(xyz), jnp.asarray(centers), 0.5, 8,
+                               INTERPRET)
+    wi, wc = ball_query_oracle(xyz, centers, 0.5, 8)
+    np.testing.assert_array_equal(np.asarray(gi), wi)
+    np.testing.assert_array_equal(np.asarray(gc), wc)
