@@ -1,11 +1,21 @@
-"""End-to-end benchmark: flagship model TRAINING throughput on one chip.
+"""End-to-end benchmark: flagship model TRAINING throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Metric: training points/sec through the color+normal semantic-segmentation
-model — a full jitted train step (forward, weighted CE, backward, Adam,
-BN-EMA, confusion-matrix update) at the reference's exact training geometry
-(batch 16 x 8192 points, ``attention_points/train.py:14-17``).
+Headline metric (value): device-only training points/sec/chip — a full jitted
+train step (forward, weighted CE, backward, Adam, BN-EMA, confusion-matrix
+update) at the reference's exact training geometry (batch 16 x 8192 points,
+``attention_points/train.py:14-17``).
+
+Extras (round-2 additions, VERDICT #3):
+- ``end_to_end``: the honest trainer-path rate — host chunk batching +
+  H2D transfer in a prefetch thread + the same jitted step, i.e. the same
+  structure as ``train/trainer.py``'s input path, measured by wall clock.
+- ``scaling``: weak-scaling sweep over device counts (fixed per-chip batch,
+  sharded with ``parallel.data_parallel_jit``): points/sec, per-chip rate and
+  efficiency vs 1 device.  On a 1-chip host it degenerates to [1]; the same
+  harness runs on an 8-virtual-CPU mesh in tests (BASELINE.md north star:
+  near-linear chunk throughput 1 chip -> N).
 
 vs_baseline: the reference's published epoch time — 1201 scenes x 8192 points
 in 85 s with its precomputed-pickle pipeline on a consumer GPU (Report.pdf
@@ -23,7 +33,25 @@ import numpy as np
 BASELINE_POINTS_PER_SEC = 1201 * 8192 / 85.0  # reference epoch, Report.pdf §3.3
 
 
-def main():
+def _make_host_chunks(rng, n_chunks, n):
+    """Synthetic chunks in the real training-chunk geometry: a 1.5 x 1.5 m x
+    room-height cuboid (+0.2 m context margin), ref
+    data_transformation.py:98-99 — ball density at radius 0.1 matches what
+    the kernels see on real ScanNet data."""
+    extent = np.array([1.9, 1.9, 2.6], np.float32)
+    return [
+        {
+            "points": (rng.rand(n, 3) * extent).astype(np.float32),
+            "labels": rng.randint(0, 21, n).astype(np.int32),
+            "colors": rng.randint(0, 256, (n, 3)).astype(np.int32),
+            "normals": rng.rand(n, 3).astype(np.float32),
+            "weights": np.ones(n, np.float32),
+        }
+        for _ in range(n_chunks)
+    ]
+
+
+def _make_state_and_batch(b, n, seed=0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -33,14 +61,9 @@ def main():
         create_state,
         make_sample_weights,
         schedules,
-        seg_train_step,
     )
 
-    rng = np.random.RandomState(0)
-    b, n = 16, 8192
-    # Points in the real training-chunk geometry: a 1.5 x 1.5 m x room-height
-    # cuboid (+0.2 m context margin), ref data_transformation.py:98-99 — ball
-    # density at radius 0.1 matches what the kernels see on real ScanNet data.
+    rng = np.random.RandomState(seed)
     extent = np.array([1.9, 1.9, 2.6], np.float32)
     batch = {
         "points": jnp.asarray((rng.rand(b, n, 3) * extent).astype(np.float32)),
@@ -50,13 +73,22 @@ def main():
     batch["weights"] = make_sample_weights(
         batch["labels"], jnp.ones((b, n), jnp.float32)
     )
-
     model = models.get_model("sem_seg_features", num_classes=21)
     tx = optax.adam(schedules.scannet_learning_rate)
     state = create_state(
         model, tx, jax.random.PRNGKey(0),
         batch["points"][:1], batch["features"][:1], train=False,
     )
+    return state, batch
+
+
+def measure_device_step(b=16, n=8192, warmup=110, iters=200):
+    """Device-only jitted train-step rate (points/sec on one chip)."""
+    import jax
+
+    from pointcloud_segmentation_attention_tpu.train import seg_train_step
+
+    state, batch = _make_state_and_batch(b, n)
     step = jax.jit(seg_train_step, donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
 
@@ -65,24 +97,142 @@ def main():
     # Warmup past secondary (donation-layout) compiles.  NOTE: on the axon
     # remote backend block_until_ready can return optimistically; a value
     # fetch (float(...)) is the only reliable synchronization point.
-    for _ in range(110):
+    for _ in range(warmup):
         state, m = step(state, batch, key)
     float(m["loss"])
 
-    iters = 200
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, batch, key)
     final_loss = float(m["loss"])  # true sync point
     dt = time.perf_counter() - t0
     assert np.isfinite(final_loss)
+    return iters * b * n / dt
 
-    pps = iters * b * n / dt
+
+def measure_end_to_end(b=16, n=8192, warmup=30, iters=120, n_devices=1,
+                       wire="f32"):
+    """Trainer-path rate: host chunk batching + H2D in a prefetch thread +
+    sharded jitted step — the same input structure as train/trainer.py
+    (pipeline.batched -> shard_batch inside the generator -> prefetch).
+    ``wire='compact'`` measures the low-byte wire format (uint8/f16 on the
+    wire, expanded on device)."""
+    import itertools
+
+    import jax
+
+    from pointcloud_segmentation_attention_tpu import parallel
+    from pointcloud_segmentation_attention_tpu.data import pipeline
+    from pointcloud_segmentation_attention_tpu.train import seg_train_step
+
+    state, _ = _make_state_and_batch(b, n)
+    mesh = parallel.make_mesh(n_devices)
+    step = parallel.data_parallel_jit(
+        seg_train_step, mesh, batch_argnums=(1,), donate_argnums=(0,)
+    )
+    key = jax.random.PRNGKey(1)
+
+    rng = np.random.RandomState(3)
+    chunks = _make_host_chunks(rng, n_chunks=4 * b, n=n)
+
+    def device_batches():
+        host_iter = pipeline.batched(
+            itertools.cycle(chunks), b, use_colors=True, use_normals=True,
+            wire=wire,
+        )
+        for host_batch in host_iter:
+            yield parallel.shard_batch(host_batch, mesh)
+
+    it = pipeline.prefetch(device_batches(), depth=4)
+    m = None
+    for _ in range(warmup):
+        state, m = step(state, next(it), key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, next(it), key)
+    float(m["loss"])  # sync
+    dt = time.perf_counter() - t0
+    return iters * b * n / dt
+
+
+def measure_scaling(b_per_chip=16, n=8192, device_counts=None, warmup=30,
+                    iters=60):
+    """Weak-scaling sweep: per-chip batch fixed, global batch grows with the
+    mesh.  Returns [{n_devices, points_per_sec, points_per_sec_per_chip,
+    efficiency}] with efficiency relative to the 1-device per-chip rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_segmentation_attention_tpu import parallel
+    from pointcloud_segmentation_attention_tpu.train import (
+        make_sample_weights,
+        seg_train_step,
+    )
+
+    counts = device_counts or sorted({1, len(jax.devices())})
+    rng = np.random.RandomState(5)
+    extent = np.array([1.9, 1.9, 2.6], np.float32)
+    results = []
+    base_per_chip = None
+    for nd in counts:
+        if nd > len(jax.devices()):
+            continue
+        b = b_per_chip * nd
+        mesh = parallel.make_mesh(nd)
+        step = parallel.data_parallel_jit(
+            seg_train_step, mesh, batch_argnums=(1,), donate_argnums=(0,)
+        )
+        state, _ = _make_state_and_batch(1, n)  # params replicated by jit
+        batch = {
+            "points": jnp.asarray((rng.rand(b, n, 3) * extent).astype(np.float32)),
+            "labels": jnp.asarray(rng.randint(0, 21, (b, n)).astype(np.int32)),
+            "features": jnp.asarray(rng.rand(b, n, 6).astype(np.float32)),
+        }
+        batch["weights"] = make_sample_weights(
+            batch["labels"], jnp.ones((b, n), jnp.float32)
+        )
+        batch = parallel.shard_batch(batch, mesh)
+        key = jax.random.PRNGKey(1)
+        m = None
+        for _ in range(warmup):
+            state, m = step(state, batch, key)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, batch, key)
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        pps = iters * b * n / dt
+        per_chip = pps / nd
+        if base_per_chip is None:
+            base_per_chip = per_chip
+        results.append({
+            "n_devices": nd,
+            "points_per_sec": round(pps, 1),
+            "points_per_sec_per_chip": round(per_chip, 1),
+            "efficiency": round(per_chip / base_per_chip, 3),
+        })
+    return results
+
+
+def main():
+    b, n = 16, 8192
+    device_pps = measure_device_step(b, n)
+    e2e_pps = measure_end_to_end(b, n)
+    e2e_compact = measure_end_to_end(b, n, wire="compact")
+    scaling = measure_scaling(b_per_chip=b, n=n)
     print(json.dumps({
         "metric": "semseg_features_train_points_per_sec",
-        "value": round(pps, 1),
+        "value": round(device_pps, 1),
         "unit": "points/sec/chip",
-        "vs_baseline": round(pps / BASELINE_POINTS_PER_SEC, 3),
+        "vs_baseline": round(device_pps / BASELINE_POINTS_PER_SEC, 3),
+        "device_step": round(device_pps, 1),
+        "end_to_end": round(e2e_pps, 1),
+        "end_to_end_compact_wire": round(e2e_compact, 1),
+        "end_to_end_vs_baseline": round(
+            max(e2e_pps, e2e_compact) / BASELINE_POINTS_PER_SEC, 3),
+        "scaling": scaling,
     }))
 
 

@@ -36,21 +36,44 @@ def assemble_features(
 
 
 def make_batch(
-    chunks: List[Dict[str, np.ndarray]], use_colors: bool, use_normals: bool
+    chunks: List[Dict[str, np.ndarray]], use_colors: bool, use_normals: bool,
+    wire: str = "f32",
 ) -> Dict[str, np.ndarray]:
     """Stack chunk dicts into one batch dict.
 
     weights = class_weight[label] * (stored_weight != 0) — the stored weight's
     only information is the inner-box mask, the class weight is re-applied
     fresh (exactly ref train.py:106-108).
+
+    ``wire='compact'`` emits the low-byte wire format instead (labels + mask
+    uint8, colors raw uint8, normals f16; the f32 features/weights are
+    reconstructed on device by ``train.steps.expand_wire_batch``) — about
+    half the H2D bytes per step, the measured end-to-end bottleneck on a
+    remote-tunneled chip.
     """
+    points = np.stack([c["points"] for c in chunks]).astype(np.float32)
+    labels_i = np.stack([c["labels"] for c in chunks])
+    mask = np.stack([c["weights"] for c in chunks]) != 0
+
+    if wire == "compact":
+        batch = {
+            "points": points,
+            "labels": labels_i.astype(np.uint8),
+            "mask": mask.astype(np.uint8),
+        }
+        if use_colors:
+            batch["colors_u8"] = np.stack(
+                [c["colors"] for c in chunks]).astype(np.uint8)
+        if use_normals:
+            batch["normals_f16"] = np.stack(
+                [c["normals"] for c in chunks]).astype(np.float16)
+        return batch
+
     from pointcloud_segmentation_attention_tpu.data.scannet.label_map import (
         TRAIN_LABEL_WEIGHTS,
     )
 
-    points = np.stack([c["points"] for c in chunks]).astype(np.float32)
-    labels = np.stack([c["labels"] for c in chunks]).astype(np.int32)
-    mask = np.stack([c["weights"] for c in chunks]) != 0
+    labels = labels_i.astype(np.int32)
     weights = TRAIN_LABEL_WEIGHTS[labels] * mask.astype(np.float32)
     batch = {"points": points, "labels": labels, "weights": weights.astype(np.float32)}
     features = assemble_features(
@@ -69,6 +92,7 @@ def batched(
     use_colors: bool,
     use_normals: bool,
     pad_final: bool = False,
+    wire: str = "f32",
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Group chunks into batches of exactly ``batch_size``.
 
@@ -81,14 +105,14 @@ def batched(
     for chunk in chunk_iter:
         buf.append(chunk)
         if len(buf) == batch_size:
-            yield make_batch(buf, use_colors, use_normals)
+            yield make_batch(buf, use_colors, use_normals, wire)
             buf = []
     if buf and pad_final:
         pad = dict(buf[0])
         pad["labels"] = np.zeros_like(buf[0]["labels"])
         pad["weights"] = np.zeros_like(buf[0]["weights"])
         buf.extend([pad] * (batch_size - len(buf)))
-        yield make_batch(buf, use_colors, use_normals)
+        yield make_batch(buf, use_colors, use_normals, wire)
 
 
 _SENTINEL = object()

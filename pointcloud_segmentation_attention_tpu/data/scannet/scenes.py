@@ -69,12 +69,20 @@ def write_split(split_dir: str, split: str, names: Sequence[str]) -> None:
         f.write("\n".join(names) + ("\n" if names else ""))
 
 
-def make_synthetic_scene(n_points: int = 20000, seed: int = 0) -> Dict[str, np.ndarray]:
+def make_synthetic_scene(n_points: int = 20000, seed: int = 0,
+                         color_coded: bool = False) -> Dict[str, np.ndarray]:
     """A room-like labeled scene for tests/benchmarks (in ScanNet units:
     meters; extent ~6 x 5 x 2.6 m).  Labels are COMPACT [0, 20] ids; ~85 % of
     points are annotated so the chunk sampler's >=70 %-labeled validity check
     (ref data_transformation.py:120-141) passes.
     Returns dict points/labels/colors/normals.
+
+    ``color_coded=True`` makes the task LEARNABLE across scenes: colors are
+    the label's palette entry + noise (and normals tilt with the label), so a
+    features model can converge to high mIoU on held-out scenes — the
+    convergence-harness analogue of real ScanNet's color/normal signal.
+    Blob labels/positions are random per seed, so without the feature signal
+    held-out blob classes are unpredictable.
     """
     rng = np.random.RandomState(seed)
     extent = np.array([6.0, 5.0, 2.6], np.float32)
@@ -100,8 +108,22 @@ def make_synthetic_scene(n_points: int = 20000, seed: int = 0) -> Dict[str, np.n
     # ~15 % unannotated.
     labels[rng.rand(n_points) < 0.15] = 0
 
-    colors = rng.randint(0, 256, (n_points, 3)).astype(np.int32)
-    normals = rng.randn(n_points, 3).astype(np.float32)
+    if color_coded:
+        from pointcloud_segmentation_attention_tpu.viz.palette import (
+            colorize_labels,
+        )
+
+        colors = colorize_labels(labels).astype(np.float32)
+        colors += rng.randn(n_points, 3) * 8.0
+        colors = np.clip(colors, 0, 255).astype(np.int32)
+        # Normals tilt by label too (secondary signal).
+        normals = np.stack([
+            np.cos(labels * 0.3), np.sin(labels * 0.3),
+            np.ones(n_points)], axis=1).astype(np.float32)
+        normals += rng.randn(n_points, 3).astype(np.float32) * 0.1
+    else:
+        colors = rng.randint(0, 256, (n_points, 3)).astype(np.int32)
+        normals = rng.randn(n_points, 3).astype(np.float32)
     normals /= np.linalg.norm(normals, axis=1, keepdims=True)
 
     perm = rng.permutation(n_points)
@@ -120,15 +142,19 @@ def write_synthetic_dataset(
     n_test: int = 0,
     n_points: int = 20000,
     seed: int = 0,
+    color_coded: bool = False,
 ) -> Dict[str, List[str]]:
     """Write a miniature ScanNet-layout dataset; labels are stored raw (NYU40)
-    like the real preprocessing output.  Returns the split name lists."""
+    like the real preprocessing output.  Returns the split name lists.
+    ``color_coded`` makes labels learnable from features (see
+    ``make_synthetic_scene``)."""
     splits: Dict[str, List[str]] = {"train": [], "val": [], "test": []}
     i = 0
     for split, count in (("train", n_train), ("val", n_val), ("test", n_test)):
         for _ in range(count):
             name = f"scene{i:04d}_00"
-            scene = make_synthetic_scene(n_points, seed=seed + i)
+            scene = make_synthetic_scene(n_points, seed=seed + i,
+                                         color_coded=color_coded)
             raw = dict(scene)
             raw["labels"] = map_to_nyu40(scene["labels"]).astype(np.int32)
             save_scene(data_root, name, raw)

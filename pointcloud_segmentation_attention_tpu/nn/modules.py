@@ -51,14 +51,16 @@ def sample_and_group(
     new_xyz = ops.gather_point(xyz, fps_idx)
     if knn:
         _, idx = ops.knn_point(nsample, xyz, new_xyz)
+        cnt = None
     else:
-        idx, _ = ops.ball_query(xyz, new_xyz, radius, nsample)
+        idx, cnt = ops.ball_query(xyz, new_xyz, radius, nsample)
     # One combined gather for xyz+features: the gather's cost on TPU is per
     # slice (row count), not per byte — two separate group_points cost ~2x one
-    # wide one (measured 7.5 ms vs 4.0 ms at the L1 shapes, B16).
+    # wide one (measured 7.5 ms vs 4.0 ms at the L1 shapes, B16).  With ball
+    # counts the Pallas count-aware gather halves it again (4.4 -> 2.2 ms).
     if points is not None:
-        grouped = ops.group_point(
-            jnp.concatenate([xyz, points.astype(xyz.dtype)], axis=-1), idx
+        grouped = ops.group_point_with_counts(
+            jnp.concatenate([xyz, points.astype(xyz.dtype)], axis=-1), idx, cnt
         )
         grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
         grouped_points = grouped[..., 3:].astype(points.dtype)
@@ -67,7 +69,8 @@ def sample_and_group(
         else:
             new_points = grouped_points
     else:
-        grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
+        grouped_xyz = (ops.group_point_with_counts(xyz, idx, cnt)
+                       - new_xyz[:, :, None, :])
         new_points = grouped_xyz
     return new_xyz, new_points, idx, grouped_xyz
 
@@ -208,12 +211,12 @@ class SetAbstractionMSG(nn.Module):
         new_xyz = ops.gather_point(xyz, fps_idx)
         outs = []
         for i, (radius, nsample) in enumerate(zip(self.radius_list, self.nsample_list)):
-            idx, _ = ops.ball_query(xyz, new_xyz, radius, nsample)
+            idx, cnt = ops.ball_query(xyz, new_xyz, radius, nsample)
             if points is not None:
                 # Single combined gather (see sample_and_group); xyz LAST here.
-                both = ops.group_point(
+                both = ops.group_point_with_counts(
                     jnp.concatenate([points.astype(xyz.dtype), xyz], axis=-1),
-                    idx,
+                    idx, cnt,
                 )
                 grouped_xyz = both[..., -3:] - new_xyz[:, :, None, :]
                 if self.use_xyz:
@@ -224,7 +227,8 @@ class SetAbstractionMSG(nn.Module):
                 else:
                     grouped = both[..., :-3].astype(points.dtype)
             else:
-                grouped = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
+                grouped = (ops.group_point_with_counts(xyz, idx, cnt)
+                           - new_xyz[:, :, None, :])
             grouped = SharedMLP(
                 self.mlp_list[i], compute_dtype=self.compute_dtype, name=f"branch{i}"
             )(grouped, train=train, bn_momentum=bn_momentum)

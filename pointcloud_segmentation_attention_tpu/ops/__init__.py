@@ -18,6 +18,7 @@ from pointcloud_segmentation_attention_tpu.ops.dispatch import (
     ball_query,
     farthest_point_sample,
     get_backend,
+    group_point_with_counts,
     set_backend,
     three_interpolate,
     three_nn,
@@ -29,6 +30,7 @@ __all__ = [
     "gather_point",
     "get_backend",
     "group_point",
+    "group_point_with_counts",
     "interpolation_weights",
     "knn_point",
     "prob_sample",

@@ -75,6 +75,27 @@ def three_interpolate(
     return geometry.three_interpolate(points, idx, weight)
 
 
+def group_point_with_counts(
+    points: jnp.ndarray, idx: jnp.ndarray, cnt=None
+) -> jnp.ndarray:
+    """``group_point`` that can exploit ball-query hit counts.
+
+    With ``cnt`` (from ``ball_query``) on TPU, the Pallas count-aware gather
+    copies only the DISTINCT rows per group and broadcast-fills the repeated
+    padding slots (measured 4.4 -> 2.2 ms at the L1 training shapes,
+    docs/performance.md).  Without counts (kNN groups, non-TPU) it is the
+    plain XLA gather.  Semantics are identical GIVEN ball-query output
+    (slots >= cnt repeat slot 0).
+    """
+    if cnt is not None and _use_pallas():
+        from pointcloud_segmentation_attention_tpu.ops.pallas.group_gather_kernel import (
+            group_gather,
+        )
+
+        return group_gather(points, idx, cnt)
+    return geometry.group_point(points, idx)
+
+
 def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # Pallas path needs >= 3 known points (no padding branch in-kernel).
     if _use_pallas() and xyz2.shape[1] >= 3:

@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: count-aware neighborhood gather (group_point).
+
+Reference capability: ``tf_grouping_g.cu:40-78`` (``out[b,m,s,:] =
+points[b, idx[b,m,s], :]``).  The XLA gather at the L1 shapes (B16, 8192 ->
+1024 centers x 32 slots x 9ch) issues one descriptor per (m, s) slot — 524k
+36-byte slices, ~4 ms, >98 % descriptor overhead (docs/performance.md).
+
+This kernel exploits the ball-query padding rule: slots ``s >= cnt[m]`` all
+repeat slot 0, and real chunk geometry gives ``cnt ~ 4`` of 32 — so only
+``cnt`` rows per center are DISTINCT.  With the source resident in VMEM:
+
+- one vector load + one broadcast store fills ALL ``nsample`` slots with the
+  slot-0 row,
+- a scalar loop issues only ``cnt - 1`` further row copies (VMEM -> VMEM,
+  no HBM descriptors).
+
+That is ~8x fewer dynamic row accesses than the dense gather, and every
+access stays on-chip.  Indices and counts ride in SMEM so the scalar core
+can drive addresses directly.
+
+Gradient: this op is used forward-only at SA level 1 (its inputs are data,
+not activations); deeper levels keep the XLA path whose scatter-add
+transpose exists (``ops/geometry.group_point``).  ``group_gather_pallas``
+still carries a custom VJP (XLA scatter-add) so it is safe anywhere.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _group_gather_kernel(idx_ref, cnt_ref, src_ref, out_ref, *, mt: int,
+                         nsample: int, c_pad: int):
+    # idx_ref (Mt, nsample) SMEM i32; cnt_ref (Mt, 1) SMEM i32;
+    # src_ref (N_pad, c_pad) VMEM; out_ref (Mt * nsample, c_pad) VMEM.
+    def per_center(m, _):
+        i0 = idx_ref[m, 0]
+        row0 = src_ref[pl.ds(i0, 1), :]  # (1, c_pad)
+        # Fill every slot with the slot-0 row (the CUDA padding rule makes
+        # this correct for all s >= cnt; s < cnt are overwritten below).
+        out_ref[pl.ds(m * nsample, nsample), :] = jnp.broadcast_to(
+            row0, (nsample, c_pad)
+        )
+        c = jnp.minimum(cnt_ref[m, 0], nsample)
+
+        def per_slot(s, _):
+            out_ref[pl.ds(m * nsample + s, 1), :] = src_ref[
+                pl.ds(idx_ref[m, s], 1), :
+            ]
+            return 0
+
+        jax.lax.fori_loop(1, c, per_slot, 0)
+        return 0
+
+    jax.lax.fori_loop(0, mt, per_center, 0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def group_gather(points, idx, cnt, interpret=False):
+    """(B,N,C), (B,M,ns) i32, (B,M) i32 -> (B,M,ns,C).
+
+    Semantically identical to ``geometry.group_point(points, idx)`` GIVEN
+    ball-query output (slots >= cnt repeat slot 0); ``cnt`` lets the kernel
+    skip the repeated slots.
+    """
+    return _group_gather_fwd_impl(points, idx, cnt, interpret)
+
+
+def _group_gather_fwd_impl(points, idx, cnt, interpret):
+    b, n, c = points.shape
+    m, ns = idx.shape[1], idx.shape[2]
+    c_pad = _round_up(c, 128)
+    n_pad = _round_up(n, 8)
+    # Center tile: bound SMEM (idx tile) and VMEM (out tile) use.
+    mt = min(256, m)
+    while m % mt:
+        mt //= 2
+    mt = max(mt, 1)
+    m_pad = _round_up(m, mt)
+
+    src = points.astype(jnp.float32)
+    if c_pad != c or n_pad != n:
+        src = jnp.pad(src, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
+    idx_p = idx.astype(jnp.int32)
+    cnt_p = cnt.astype(jnp.int32)[..., None]
+    if m_pad != m:
+        idx_p = jnp.pad(idx_p, ((0, 0), (0, m_pad - m), (0, 0)))
+        cnt_p = jnp.pad(cnt_p, ((0, 0), (0, m_pad - m), (0, 0)))
+
+    out = pl.pallas_call(
+        partial(_group_gather_kernel, mt=mt, nsample=ns, c_pad=c_pad),
+        grid=(b, m_pad // mt),
+        in_specs=[
+            pl.BlockSpec((None, mt, ns), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, mt, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, n_pad, c_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, mt * ns, c_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad * ns, c_pad), jnp.float32),
+        interpret=interpret,
+    )(idx_p, cnt_p, src)
+    out = out.reshape(b, m_pad, ns, c_pad)[:, :m, :, :c]
+    return out.astype(points.dtype)
+
+
+def _group_gather_fwd(points, idx, cnt, interpret):
+    # ``points`` rides in the residuals only for its shape/dtype (the
+    # scatter-add transpose ignores its values); when no gradient is
+    # requested (the L1 forward-only case) DCE drops it.
+    return _group_gather_fwd_impl(points, idx, cnt, interpret), (idx, points)
+
+
+def _group_gather_bwd(interpret, res, g):
+    idx, points = res
+    b, n, c = points.shape
+    src_dtype = points.dtype
+    # Scatter-add transpose (XLA path, same as geometry.group_point's VJP).
+    flat_idx = idx.reshape(b, -1)
+    flat_g = g.reshape(b, -1, c).astype(jnp.float32)
+    dpoints = jax.vmap(
+        lambda fi, fg: jnp.zeros((n, c), jnp.float32).at[fi].add(fg)
+    )(flat_idx, flat_g).astype(src_dtype)
+    return dpoints, None, None
+
+
+group_gather.defvjp(_group_gather_fwd, _group_gather_bwd)

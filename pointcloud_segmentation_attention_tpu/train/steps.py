@@ -42,6 +42,35 @@ def make_sample_weights(labels, inner_mask, class_weights=None):
     return cw[labels] * inner_mask.astype(jnp.float32)
 
 
+def expand_wire_batch(batch: dict) -> dict:
+    """Compact-wire batch -> standard batch, ON DEVICE (fused into the step).
+
+    The compact wire format (``pipeline.make_batch(wire='compact')``) halves
+    the per-step H2D bytes — the measured bottleneck of the end-to-end
+    trainer rate on a remote-tunneled chip (docs/performance.md): labels and
+    the inner-box mask travel as uint8, colors as raw uint8, normals as f16;
+    the f32 features concat and ``class_weight[label] * mask`` are
+    reconstructed here, inside the jitted step.  Points stay f32 (geometry
+    parity).  Standard batches pass through untouched.
+    """
+    if "mask" not in batch:
+        return batch
+    labels = batch["labels"].astype(jnp.int32)
+    out = {
+        "points": batch["points"],
+        "labels": labels,
+        "weights": make_sample_weights(labels, batch["mask"] != 0),
+    }
+    parts = []
+    if "colors_u8" in batch:
+        parts.append(batch["colors_u8"].astype(jnp.float32) / 255.0)
+    if "normals_f16" in batch:
+        parts.append(batch["normals_f16"].astype(jnp.float32))
+    if parts:
+        out["features"] = jnp.concatenate(parts, axis=-1)
+    return out
+
+
 def seg_train_step(
     state: TrainState,
     batch: dict,
@@ -55,11 +84,13 @@ def seg_train_step(
 
     batch: dict with 'points' (B,N,3) f32, 'labels' (B,N) i32,
     'weights' (B,N) f32 (pre-multiplied class weight x mask), and optional
-    'features' (B,N,K) f32.
+    'features' (B,N,K) f32 — or the compact wire format
+    (see ``expand_wire_batch``).
 
     Returns (new_state, metrics) where metrics has scalar 'loss', 'accuracy'
     and the (C, C) 'confusion' update for streaming mIoU.
     """
+    batch = expand_wire_batch(batch)
     bn_momentum = bn_schedule(state.step)
     rng = jax.random.fold_in(dropout_rng, state.step)
     features = batch.get("features")
@@ -105,6 +136,7 @@ def seg_train_step(
 
 def seg_eval_step(state: TrainState, batch: dict, *, num_classes: int = 21):
     """Eval forward pass: loss + confusion update using running BN stats."""
+    batch = expand_wire_batch(batch)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     logits = state.apply_fn(
         variables, batch["points"], batch.get("features"), train=False

@@ -51,6 +51,25 @@ def select_model(config: TrainConfig):
     return models.get_model(name, **kw)
 
 
+def make_eval_state(config: TrainConfig):
+    """Template TrainState (same param/opt tree as ``train()`` builds) for
+    restoring a checkpoint outside the trainer, e.g. for full-scene
+    prediction (ref ``generate_predictions.py:128-130`` restores
+    ``tf.train.latest_checkpoint`` into a freshly built graph)."""
+    import jax.numpy as jnp
+
+    model = select_model(config)
+    # Opt-state VALUES don't matter for eval, but the tree structure must
+    # match train()'s adam-with-schedule (a float lr would build a different
+    # optax state tree and break restore).
+    tx = optax.adam(lambda s: 1e-3)
+    pts = jnp.zeros((1, config.n_points, 3), jnp.float32)
+    k = 3 * int(config.use_colors) + 3 * int(config.use_normals)
+    feats = jnp.zeros((1, config.n_points, k), jnp.float32) if k else None
+    return create_state(model, tx, jax.random.PRNGKey(config.seed), pts,
+                        feats, train=False)
+
+
 def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
     """Run training from precomputed chunks; returns summary dict."""
     rng = jax.random.PRNGKey(config.seed)
@@ -86,6 +105,7 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
                 shuffle_seed=config.seed,
             ),
             config.batch_size, config.use_colors, config.use_normals,
+            wire=config.wire_format,
         )
         for host_batch in host_iter:
             yield parallel.shard_batch(host_batch, mesh)
@@ -189,7 +209,7 @@ def evaluate(config: TrainConfig, state, eval_step, mesh, val_scenes) -> dict:
     it = pipeline.batched(
         precompute.replay_val_chunks(config.precompute_dir, val_scenes),
         config.batch_size, config.use_colors, config.use_normals,
-        pad_final=True,
+        pad_final=True, wire=config.wire_format,
     )
     # Accumulate loss/accuracy/confusion ON DEVICE and fetch once at the end
     # of the pass — a per-batch float() would re-introduce the host sync the

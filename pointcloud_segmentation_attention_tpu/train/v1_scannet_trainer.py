@@ -20,6 +20,7 @@ from pointcloud_segmentation_attention_tpu import models, parallel
 from pointcloud_segmentation_attention_tpu.data.augment import rotate_point_cloud_z
 from pointcloud_segmentation_attention_tpu.data.scannet.v1_compat import (
     ScannetDataset,
+    ScannetDatasetVirtualScan,
     ScannetDatasetWholeScene,
 )
 from pointcloud_segmentation_attention_tpu.train import (
@@ -34,6 +35,27 @@ from pointcloud_segmentation_attention_tpu.utils.pc_util import (
     calibrated_voxel_accuracy,
     point_cloud_label_to_surface_voxel_label_fast,
 )
+
+
+class _FlattenedStacked:
+    """Adapts a per-scene STACKED dataset (``__getitem__`` -> (K, N, 3) /
+    (K, N) / (K, N) like ``ScannetDatasetWholeScene`` and
+    ``ScannetDatasetVirtualScan``) to per-sample indexing for the batch loop.
+    Stacks are computed once per scene and cached (the reference likewise
+    holds whole scenes in memory, ref scannet_dataset.py:96-108)."""
+
+    def __init__(self, ds):
+        self._stacks = [ds[i] for i in range(len(ds))]
+        self._index = [(si, k) for si, (p, _, _) in enumerate(self._stacks)
+                       for k in range(len(p))]
+
+    def __len__(self):
+        return len(self._index)
+
+    def __getitem__(self, i):
+        si, k = self._index[i]
+        p, l, w = self._stacks[si]
+        return p[k], l[k], w[k]
 
 
 def get_batch_wdp(dataset, idxs, start, bsize, npoints, rng):
@@ -65,8 +87,28 @@ def train_scannet_v1(
     n_devices: Optional[int] = None,
     seed: int = 0,
     max_steps: Optional[int] = None,
+    dataset_kind: str = "chunk",
 ):
-    train_ds = ScannetDataset(data_root, train_scenes, npoints, "train", seed)
+    """``dataset_kind`` chooses the training dataset like the reference's
+    commented dataset swap (ref scannet/train.py:54-58 trains on either the
+    chunk, whole-scene, or virtual-scan dataset): ``chunk`` (default),
+    ``virtual`` (depth-camera visibility subsampling,
+    ref scannet_dataset.py:152-176), or ``whole`` (full-coverage grid
+    chunks; each __getitem__ yields a (n_chunks, N, 3) stack that is
+    flattened into the batch loop)."""
+    if dataset_kind == "virtual":
+        train_ds = _FlattenedStacked(
+            ScannetDatasetVirtualScan(data_root, train_scenes, npoints,
+                                      "train", seed))
+    elif dataset_kind == "whole":
+        train_ds = _FlattenedStacked(
+            ScannetDatasetWholeScene(data_root, train_scenes, npoints, seed,
+                                     split="train"))
+    elif dataset_kind == "chunk":
+        train_ds = ScannetDataset(data_root, train_scenes, npoints, "train",
+                                  seed)
+    else:
+        raise ValueError(f"unknown dataset_kind '{dataset_kind}'")
     whole_ds = ScannetDatasetWholeScene(data_root, val_scenes, npoints, seed)
     model = models.get_model("sem_seg", num_classes=21)
     bn = lambda step: schedules.upstream_bn_momentum(step, batch_size, 200000)

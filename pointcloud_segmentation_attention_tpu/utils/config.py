@@ -25,6 +25,9 @@ class TrainConfig:
     use_colors: bool = True
     use_normals: bool = True
     use_subset: bool = False       # first third of train scenes (ablation)
+    # 'compact' halves per-step H2D bytes (labels/mask uint8, colors uint8,
+    # normals f16, expanded on device) — see data/pipeline.make_batch.
+    wire_format: str = "f32"
     # model
     model: str = "sem_seg_features"
     num_classes: int = 21

@@ -43,6 +43,52 @@ def point_cloud_to_volume_batch(
     return vols.reshape(len(point_clouds), -1) if flatten else vols
 
 
+def point_cloud_to_image(
+    points: np.ndarray, imgsize: int, radius: float = 1.0,
+    num_sample: int = 128,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """(N, 3) -> (imgsize, imgsize, num_sample, 3): per-pixel point sets with
+    pixel-centered, pixel-scaled xy (ref utils/pc_util.py:138-171).  Points
+    are assumed in [-radius, radius]; pixels with more than ``num_sample``
+    points are subsampled without replacement, fewer are edge-padded, empty
+    pixels are zeros."""
+    rng = rng or np.random
+    img = np.zeros((imgsize, imgsize, num_sample, 3), points.dtype)
+    pixel = 2 * radius / float(imgsize)
+    locations = ((points[:, 0:2] + radius) / pixel).astype(int)
+    # group point rows by pixel with one sort instead of a per-point dict
+    keys = locations[:, 0] * imgsize + locations[:, 1]
+    order = np.argsort(keys, kind="stable")
+    uniq, starts = np.unique(keys[order], return_index=True)
+    bounds = np.append(starts, len(order))
+    for u, s, e in zip(uniq, bounds[:-1], bounds[1:]):
+        i, j = int(u) // imgsize, int(u) % imgsize
+        if not (0 <= i < imgsize and 0 <= j < imgsize):
+            continue
+        pc = points[order[s:e]].copy()
+        if len(pc) > num_sample:
+            pc = pc[rng.choice(len(pc), num_sample, replace=False)]
+        elif len(pc) < num_sample:
+            pc = np.pad(pc, ((0, num_sample - len(pc)), (0, 0)), "edge")
+        pc_center = (np.array([i, j]) + 0.5) * pixel - radius
+        pc[:, 0:2] = (pc[:, 0:2] - pc_center) / pixel
+        img[i, j] = pc
+    return img
+
+
+def point_cloud_to_image_batch(
+    point_clouds: np.ndarray, imgsize: int, radius: float = 1.0,
+    num_sample: int = 128,
+    rng: Optional[np.random.RandomState] = None,
+) -> np.ndarray:
+    """(B, N, 3) -> (B, I, I, num_sample, 3) (ref utils/pc_util.py:126-135)."""
+    return np.stack([
+        point_cloud_to_image(pc, imgsize, radius, num_sample, rng)
+        for pc in point_clouds
+    ])
+
+
 def draw_point_cloud(
     points: np.ndarray,
     canvas_size: int = 500,
@@ -108,6 +154,31 @@ def point_cloud_three_views(points: np.ndarray) -> np.ndarray:
     img3 = draw_point_cloud(points, zrot=180 / 180 * np.pi,
                             xrot=90 / 180 * np.pi, yrot=0)
     return np.concatenate([img1, img2, img3], axis=1)
+
+
+def point_cloud_label_to_surface_voxel_label(
+    point_set: np.ndarray, label: np.ndarray, res: float = 0.0484
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Majority-vote per-voxel label downsampling
+    (ref scannet/pc_util.py:24-40).  The reference loops over voxels with a
+    bincount each (O(V*N)); here one scatter-add builds the per-voxel label
+    histogram and a single argmax takes the majority — same result, O(N).
+    Returns (uvlabel, uvidx) like the ``_fast`` variant."""
+    coordmax = np.max(point_set, axis=0)
+    coordmin = np.min(point_set, axis=0)
+    nvox = np.ceil((coordmax - coordmin) / res)
+    vidx = np.ceil((point_set - coordmin) / res)
+    vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
+    uvidx, inv = np.unique(vidx, return_inverse=True)
+    labels2d = label[:, None] if label.ndim == 1 else label
+    out = np.zeros((len(uvidx), labels2d.shape[1]), labels2d.dtype)
+    for col in range(labels2d.shape[1]):
+        vals = labels2d[:, col].astype(np.int64)
+        hist = np.zeros((len(uvidx), int(vals.max()) + 1), np.int64)
+        np.add.at(hist, (inv, vals), 1)
+        out[:, col] = np.argmax(hist, axis=1)
+    uvlabel = out[:, 0] if label.ndim == 1 else out
+    return uvlabel, uvidx
 
 
 def point_cloud_label_to_surface_voxel_label_fast(

@@ -1,0 +1,27 @@
+"""Functional test of the bench.py measurement harnesses on the virtual CPU
+mesh (VERDICT #3: the scaling harness must exist and run at n_devices in
+{1, 8} even without multi-chip hardware; real rates come from the driver's
+TPU bench run)."""
+import jax
+import numpy as np
+
+import bench
+
+
+def test_scaling_sweep_runs_on_virtual_mesh():
+    res = bench.measure_scaling(
+        b_per_chip=2, n=256, device_counts=[1, len(jax.devices())],
+        warmup=1, iters=2,
+    )
+    counts = [r["n_devices"] for r in res]
+    assert counts[0] == 1 and counts[-1] == len(jax.devices())
+    for r in res:
+        assert r["points_per_sec"] > 0
+        assert r["points_per_sec_per_chip"] > 0
+        assert np.isfinite(r["efficiency"])
+    assert res[0]["efficiency"] == 1.0
+
+
+def test_end_to_end_harness_runs():
+    pps = bench.measure_end_to_end(b=4, n=256, warmup=1, iters=3, n_devices=2)
+    assert np.isfinite(pps) and pps > 0

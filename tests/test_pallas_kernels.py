@@ -96,3 +96,31 @@ def test_ball_query_pallas_large_n_unpacked(rng):
     wi, wc = ball_query_oracle(xyz, centers, 0.5, 8)
     np.testing.assert_array_equal(np.asarray(gi), wi)
     np.testing.assert_array_equal(np.asarray(gc), wc)
+
+
+def test_group_gather_pallas_matches_group_point(rng):
+    """Count-aware neighborhood gather == XLA group_point given ball-query
+    output (incl. empty balls and saturated balls), and its scatter-add VJP
+    matches (ref capability tf_grouping_g.cu:40-78)."""
+    from pointcloud_segmentation_attention_tpu.ops.pallas.group_gather_kernel import (
+        group_gather,
+    )
+
+    xyz = rng.rand(2, 300, 3).astype(np.float32)
+    pts = rng.rand(2, 300, 9).astype(np.float32)
+    centers_idx = fps_oracle(xyz, 40)
+    centers = np.take_along_axis(xyz, centers_idx[..., None].astype(np.int64), 1)
+    # small radius -> some empty balls; large -> saturated balls
+    for radius in (0.05, 0.9):
+        idx, cnt = ball_query_oracle(xyz, centers, radius, 16)
+        got = np.asarray(group_gather(
+            jnp.asarray(pts), jnp.asarray(idx), jnp.asarray(cnt), INTERPRET))
+        want = np.asarray(ops.group_point(jnp.asarray(pts), jnp.asarray(idx)))
+        np.testing.assert_array_equal(got, want)
+
+    idx, cnt = ball_query_oracle(xyz, centers, 0.2, 16)
+    g1 = jax.grad(lambda p: jnp.sum(group_gather(
+        p, jnp.asarray(idx), jnp.asarray(cnt), INTERPRET) ** 2))(jnp.asarray(pts))
+    g2 = jax.grad(lambda p: jnp.sum(
+        ops.group_point(p, jnp.asarray(idx)) ** 2))(jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)

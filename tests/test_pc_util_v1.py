@@ -95,3 +95,60 @@ def test_v1_virtual_scan_dataset(scene_root):
     pts, lab, w = ds[0]
     assert pts.shape[0] >= 1 and pts.shape[1:] == (256, 3)
     assert w.shape == lab.shape
+
+
+def test_majority_vote_surface_voxel_label():
+    """Majority-vote variant (ref scannet/pc_util.py:24-40) vs a naive
+    per-voxel bincount oracle, 1-D and 2-D label forms."""
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(0, 0.4, (400, 3)).astype(np.float32)  # few big voxels
+    lab = rng.randint(0, 5, 400)
+
+    uvlabel, uvidx = pc_util.point_cloud_label_to_surface_voxel_label(pts, lab, res=0.1)
+    # naive oracle
+    coordmin = pts.min(0)
+    nvox = np.ceil((pts.max(0) - coordmin) / 0.1)
+    vidx = np.ceil((pts - coordmin) / 0.1)
+    vidx = vidx[:, 0] + vidx[:, 1] * nvox[0] + vidx[:, 2] * nvox[0] * nvox[1]
+    want_idx = np.unique(vidx)
+    want = np.array([np.argmax(np.bincount(lab[vidx == uv])) for uv in want_idx])
+    np.testing.assert_array_equal(uvidx, want_idx)
+    np.testing.assert_array_equal(uvlabel, want)
+
+    # 2-D labels (gt, pred) like the calibrated-accuracy path
+    lab2 = np.stack([lab, (lab + 1) % 5], 1)
+    uvlabel2, _ = pc_util.point_cloud_label_to_surface_voxel_label(pts, lab2, res=0.1)
+    np.testing.assert_array_equal(uvlabel2[:, 0], want)
+
+
+def test_v1_trainer_virtual_scan(scene_root, tmp_path):
+    """train_scannet_v1 trains on the virtual-scan dataset (VERDICT #8)."""
+    from pointcloud_segmentation_attention_tpu.train.v1_scannet_trainer import (
+        train_scannet_v1,
+    )
+    names = sc.read_split(f"{scene_root}/splits", "train")
+    val = sc.read_split(f"{scene_root}/splits", "val")
+    summary = train_scannet_v1(
+        scene_root, names, val, npoints=256, batch_size=2, epochs=1,
+        log_dir=str(tmp_path / "logs"), n_devices=2, max_steps=2,
+        dataset_kind="virtual",
+    )
+    assert summary["steps"] >= 1
+    assert np.isfinite(summary["train_loss"])
+
+
+def test_point_cloud_to_image():
+    """Per-pixel point sets (ref utils/pc_util.py:126-171): shape, centering,
+    replication padding and empty-pixel zeros."""
+    pts = np.array([[-0.9, -0.9, 0.3], [0.9, 0.9, -0.2], [0.88, 0.88, 0.1]],
+                   np.float32)
+    img = pc_util.point_cloud_to_image(pts, imgsize=4, radius=1.0, num_sample=4,
+                                       rng=np.random.RandomState(0))
+    assert img.shape == (4, 4, 4, 3)
+    assert np.all(img[1, 2] == 0)  # empty pixel
+    assert np.any(img[0, 0] != 0) and np.any(img[3, 3] != 0)
+    # xy are pixel-relative in [-0.5, 0.5]; z passes through.
+    assert np.all(np.abs(img[..., :2]) <= 0.5 + 1e-6)
+    batch = pc_util.point_cloud_to_image_batch(pts[None], 4, 1.0, 4,
+                                               rng=np.random.RandomState(0))
+    assert batch.shape == (1, 4, 4, 4, 3)

@@ -65,3 +65,46 @@ def test_tp_step_matches_dp_loss(setup):
     assert int(new_state.step) == 1
     np.testing.assert_allclose(float(m_tp["loss"]), float(m_dp["loss"]),
                                rtol=1e-4)
+
+
+def test_tp_parameter_memory_sharded():
+    """TP's concrete, hardware-independent win: per-device parameter +
+    optimizer bytes shrink model-fold for sharded kernels (VERDICT #9 —
+    measure the memory effect; throughput claims need real multi-chip
+    hardware and are explicitly NOT made, see docs/parallelism.md)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pointcloud_segmentation_attention_tpu import models, parallel
+    from pointcloud_segmentation_attention_tpu.train import create_state
+
+    n_model = 4
+    if len(jax.devices()) < n_model:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    mesh = parallel.make_mesh_2d(len(jax.devices()) // n_model, n_model)
+    model = models.get_model("sem_seg_features", num_classes=21)
+    state = create_state(
+        model, optax.adam(1e-3), jax.random.PRNGKey(0),
+        jnp.zeros((1, 256, 3)), jnp.zeros((1, 256, 6)), train=False,
+    )
+    sharded = parallel.shard_state(state, mesh)
+
+    def per_device_bytes(tree):
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(tree):
+            total += leaf.addressable_shards[0].data.nbytes
+        return total
+
+    full = sum(l.nbytes for l in jax.tree_util.tree_leaves(state.params))
+    shard = per_device_bytes(sharded.params)
+    # Kernels dominate the params; expect close to a 1/n_model reduction.
+    assert shard < 0.5 * full, (shard, full)
+    # A representative kernel leaf is exactly 1/n_model per device.
+    flat = jax.tree_util.tree_flatten_with_path(sharded.params)[0]
+    kernels = [l for p, l in flat if l.ndim >= 2 and l.shape[-1] % n_model == 0
+               and l.shape[-1] >= n_model]
+    assert kernels, "no shardable kernels found"
+    k = kernels[0]
+    assert k.addressable_shards[0].data.nbytes * n_model == k.nbytes

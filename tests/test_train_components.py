@@ -180,3 +180,61 @@ def test_data_parallel_train_step_on_mesh():
     dp_leaves = jax.tree_util.tree_leaves(dp_state.params)
     for a, b in zip(ref_leaves, dp_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5 * lr)
+
+
+def test_compact_wire_format_matches_f32():
+    """The compact H2D wire format (labels/mask uint8, colors uint8, normals
+    f16, expanded on device by expand_wire_batch) trains identically to the
+    f32 batches up to f16 normal rounding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pointcloud_segmentation_attention_tpu import models
+    from pointcloud_segmentation_attention_tpu.data import pipeline
+    from pointcloud_segmentation_attention_tpu.train import (
+        create_state,
+        seg_train_step,
+    )
+
+    rng = np.random.RandomState(0)
+    n = 128
+    chunks = [{
+        "points": rng.rand(n, 3).astype(np.float32),
+        "labels": rng.randint(0, 21, n).astype(np.int32),
+        "colors": rng.randint(0, 256, (n, 3)).astype(np.int32),
+        "normals": rng.rand(n, 3).astype(np.float32),
+        "weights": (rng.rand(n) > 0.3).astype(np.float32),
+    } for _ in range(2)]
+
+    bf = pipeline.make_batch(chunks, True, True, wire="f32")
+    bc = pipeline.make_batch(chunks, True, True, wire="compact")
+    # wire sizes: compact must be less than half the f32 bytes
+    nbytes = lambda b: sum(v.nbytes for v in b.values())
+    assert nbytes(bc) < 0.55 * nbytes(bf), (nbytes(bc), nbytes(bf))
+
+    model = models.get_model("sem_seg_features", num_classes=21)
+    state = create_state(
+        model, optax.adam(1e-3), jax.random.PRNGKey(0),
+        jnp.asarray(bf["points"][:1]), jnp.asarray(bf["features"][:1]),
+        train=False,
+    )
+    key = jax.random.PRNGKey(1)
+    sf, mf = jax.jit(seg_train_step)(state, jax.device_put(bf), key)
+    sc, mc = jax.jit(seg_train_step)(state, jax.device_put(bc), key)
+    assert np.allclose(float(mf["loss"]), float(mc["loss"]), rtol=1e-3)
+    cf, cc = np.asarray(mf["confusion"]), np.asarray(mc["confusion"])
+    # Labels/mask are bit-identical -> per-class row totals must match.
+    # (Cell-level argmaxes are near-ties on random-init logits, so f16
+    # normal rounding legitimately flips some — compare the training effect
+    # via the updated params instead.)
+    np.testing.assert_array_equal(cf.sum(1), cc.sum(1))
+    # Adam's first step moves each param by up to ~lr regardless of gradient
+    # magnitude, so an f16-rounded input can flip near-zero gradient signs
+    # and shift a param by up to ~2*lr = 2e-3; systematic wire-format bugs
+    # (wrong color scale, wrong mask) produce far larger drifts AND fail the
+    # loss check above.
+    for a, b in zip(jax.tree_util.tree_leaves(sf.params),
+                    jax.tree_util.tree_leaves(sc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-3)
