@@ -110,7 +110,7 @@ def measure_device_step(b=16, n=8192, warmup=110, iters=200):
     return iters * b * n / dt
 
 
-def measure_end_to_end(b=16, n=8192, warmup=30, iters=120, n_devices=1,
+def measure_end_to_end(b=16, n=8192, warmup=15, iters=60, n_devices=1,
                        wire="f32"):
     """Trainer-path rate: host chunk batching + H2D in a prefetch thread +
     sharded jitted step — the same input structure as train/trainer.py
@@ -156,8 +156,8 @@ def measure_end_to_end(b=16, n=8192, warmup=30, iters=120, n_devices=1,
     return iters * b * n / dt
 
 
-def measure_scaling(b_per_chip=16, n=8192, device_counts=None, warmup=30,
-                    iters=60):
+def measure_scaling(b_per_chip=16, n=8192, device_counts=None, warmup=20,
+                    iters=40):
     """Weak-scaling sweep: per-chip batch fixed, global batch grows with the
     mesh.  Returns [{n_devices, points_per_sec, points_per_sec_per_chip,
     efficiency}] with efficiency relative to the 1-device per-chip rate."""

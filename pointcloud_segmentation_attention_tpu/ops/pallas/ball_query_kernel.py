@@ -52,6 +52,11 @@ def _ball_query_kernel(
     # Packing puts two rows' prefix counts in one i32 as 16-bit fields; that
     # is only carry-free while counts <= N < 2^15.  Larger N falls back to
     # the unpacked (one row per i32) prefix sum — slower but exact.
+    # (An MXU blocked scan — per-128-lane-tile triangular bf16 matmul +
+    # small inter-tile roll scan — was built and measured at 4.68 ms vs
+    # 2.99 ms for this roll loop at the L1 shapes: the (h, N) <-> (h*N/128,
+    # 128) relayouts cost more than the rolls save.  Reverted; see git
+    # history and docs/performance.md.)
     packed = mt >= 16 and n < (1 << 15)  # halves must stay 8-sublane-aligned
     h = mt // 2 if packed else mt
 

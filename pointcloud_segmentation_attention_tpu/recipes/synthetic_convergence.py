@@ -63,6 +63,9 @@ def run_synthetic_convergence(
     n_devices: Optional[int] = None,
     seed: int = 0,
     results_path: Optional[str] = None,
+    model: str = "sem_seg_features",
+    use_colors: bool = True,
+    use_normals: bool = True,
 ) -> dict:
     """Run the full pipeline; returns a results dict with
     ``trainer_best_val_miou`` (streaming metric on val chunks) and
@@ -92,8 +95,8 @@ def run_synthetic_convergence(
 
     # 3. train with the real recipe
     config = TrainConfig(
-        data_root=data_root, n_points=n_points, model="sem_seg_features",
-        use_colors=True, use_normals=True, epochs=epochs,
+        data_root=data_root, n_points=n_points, model=model,
+        use_colors=use_colors, use_normals=use_normals, epochs=epochs,
         batch_size=batch_size, n_epochs_to_val=n_epochs_to_val, seed=seed,
         log_dir=log_dir, n_devices=n_devices, save_every_epochs=0,
     )
@@ -108,8 +111,8 @@ def run_synthetic_convergence(
     predict_fn, _ = make_sharded_predict_fn(state, n_devices)
     pred_files, gt_files = [], []
     for res in generate_predictions(
-        predict_fn, data_root, val_scenes, pred_dir, use_colors=True,
-        use_normals=True, batch_size=batch_size, npoints=n_points,
+        predict_fn, data_root, val_scenes, pred_dir, use_colors=use_colors,
+        use_normals=use_normals, batch_size=batch_size, npoints=n_points,
         save_npy=False,
     ):
         pred_files.append(os.path.join(pred_dir, f"{res['scene_name']}.txt"))
@@ -133,6 +136,7 @@ def run_synthetic_convergence(
                               if k != "mean_iou" and not np.isnan(v)},
         "final_step": summary.get("final_step"),
         "config": {
+            "model": model,
             "n_train_scenes": n_train_scenes, "n_val_scenes": n_val_scenes,
             "scene_points": scene_points, "n_points": n_points,
             "batch_size": batch_size, "epochs": epochs,

@@ -124,3 +124,18 @@ def test_group_gather_pallas_matches_group_point(rng):
     g2 = jax.grad(lambda p: jnp.sum(
         ops.group_point(p, jnp.asarray(idx)) ** 2))(jnp.asarray(pts))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_ball_query_pallas_realistic_n_mixed_density(rng):
+    """Packed-roll path at a realistic N=2048 with mixed densities (empty,
+    sparse, saturated balls) stays oracle-exact."""
+    n = 2048
+    xyz = (rng.rand(2, n, 3) * np.array([1.9, 1.9, 2.6])).astype(np.float32)
+    centers = np.concatenate([
+        xyz[:, :6, :], np.full((2, 2, 3), 50.0, np.float32)], axis=1)
+    for radius, ns in ((0.1, 32), (0.5, 8), (3.0, 16)):
+        gi, gc = ball_query_pallas(jnp.asarray(xyz), jnp.asarray(centers),
+                                   radius, ns, INTERPRET)
+        wi, wc = ball_query_oracle(xyz, centers, radius, ns)
+        np.testing.assert_array_equal(np.asarray(gi), wi)
+        np.testing.assert_array_equal(np.asarray(gc), wc)
