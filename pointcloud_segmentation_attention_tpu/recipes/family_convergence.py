@@ -1,0 +1,167 @@
+"""Convergence demonstrations for every trainable model family.
+
+Round 2 proved the flagship ScanNet semantic-segmentation recipe learns end
+to end (``recipes/synthetic_convergence.py``).  This module extends that
+evidence to the other families the reference trains, each through its OWN
+driver and evaluator — the same code paths a user would run on real data:
+
+- ``run_cls_convergence`` — ModelNet-style classification through
+  ``train_classification`` + the multi-angle voting evaluator
+  (ref ``pointnet2_tensorflow/train.py`` + ``evaluate.py:106-155``).
+  Works for both PointNet++ (``cls_ssg``/``cls_msg``) and PointNet v1
+  (``pointnet1_cls``, whose T-Net orthogonality regularizer must be live).
+- ``run_partseg_convergence`` — ShapeNet-part segmentation through
+  ``train_part_segmentation`` + per-category part-IoU
+  (ref ``part_seg/train.py:223-306``).
+- ``run_attention_convergence`` — the attention-pooling segmentation family
+  through the full ScanNet pipeline (precompute -> train -> stitched
+  full-scene eval), i.e. ``synthetic_convergence`` with an attention model
+  (ref ``attention_points/train.py:323-330`` attention dispatch;
+  ``attention_layer.py:213-278`` is the pooling under test).
+
+Each returns the trainer's summary dict; the CLI runs all and writes one
+JSON results file (vendored at repo root as RESULTS_family_convergence.json
+when produced by the full-scale run).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pointcloud_segmentation_attention_tpu.data.modelnet import (
+    write_synthetic_modelnet,
+)
+from pointcloud_segmentation_attention_tpu.data.shapenet_part import (
+    write_synthetic_shapenet_part,
+)
+from pointcloud_segmentation_attention_tpu.recipes.synthetic_convergence import (
+    run_synthetic_convergence,
+)
+from pointcloud_segmentation_attention_tpu.train.cls_trainer import (
+    train_classification,
+)
+from pointcloud_segmentation_attention_tpu.train.partseg_trainer import (
+    train_part_segmentation,
+)
+
+
+def run_cls_convergence(
+    workdir: str,
+    model_name: str = "cls_ssg",
+    num_classes: int = 8,
+    shapes_per_class: int = 6,
+    n_points: int = 256,
+    batch_size: int = 8,
+    epochs: int = 30,
+    num_votes: int = 3,
+    n_devices: Optional[int] = None,
+    seed: int = 0,
+) -> dict:
+    """Synthetic ModelNet (class-distinctive ellipsoid shells) -> the real
+    classification trainer -> voting evaluator.  Chance accuracy is
+    ``1/num_classes``; the summary's ``best_accuracy`` demonstrates learning.
+    """
+    data_root = os.path.join(workdir, f"modelnet_synth_{seed}")
+    if not os.path.exists(data_root):
+        write_synthetic_modelnet(
+            data_root, num_classes=num_classes,
+            shapes_per_class=shapes_per_class, n_points=max(n_points, 256),
+            seed=seed,
+        )
+    summary = train_classification(
+        data_root, model_name=model_name, num_classes=num_classes,
+        npoints=n_points, batch_size=batch_size, epochs=epochs,
+        num_votes=num_votes, log_dir=os.path.join(workdir, f"cls_{model_name}"),
+        n_devices=n_devices, seed=seed,
+    )
+    summary["chance_accuracy"] = 1.0 / num_classes
+    summary["model"] = model_name
+    return summary
+
+
+def run_partseg_convergence(
+    workdir: str,
+    model_name: str = "part_seg",
+    n_shapes_per_cat: int = 8,
+    n_points: int = 256,
+    batch_size: int = 4,
+    epochs: int = 30,
+    n_devices: Optional[int] = None,
+    seed: int = 0,
+) -> dict:
+    """Synthetic ShapeNet-Part (z-slice parts of category-distinctive
+    ellipsoids) -> the real part-seg trainer -> per-category part-IoU."""
+    data_root = os.path.join(workdir, f"shapenet_synth_{seed}")
+    if not os.path.exists(data_root):
+        write_synthetic_shapenet_part(
+            data_root, n_shapes_per_cat=n_shapes_per_cat,
+            n_points=max(n_points, 256), seed=seed,
+        )
+    summary = train_part_segmentation(
+        data_root, model_name=model_name, npoints=n_points,
+        batch_size=batch_size, epochs=epochs,
+        log_dir=os.path.join(workdir, f"partseg_{model_name}"),
+        n_devices=n_devices, seed=seed,
+    )
+    summary["model"] = model_name
+    return summary
+
+
+def run_attention_convergence(
+    workdir: str,
+    model: str = "sem_seg_attention",
+    **kwargs,
+) -> dict:
+    """The full ScanNet pipeline with attention pooling in every SA level.
+
+    The reference trains its attention variants on xyz only (Report.pdf
+    Table 1, a *negative* quality result); here the skeleton also accepts
+    the color/normal feature signal of the synthetic convergence task, so
+    the demonstration target is the same learnable mIoU as the flagship —
+    what is under test is that the attention pooling path (single-query
+    multi-head, no out-proj) trains end to end through precompute ->
+    schedules -> best-ckpt -> stitched full-scene evaluation.
+    """
+    results = run_synthetic_convergence(
+        os.path.join(workdir, f"attention_{model}"), model=model, **kwargs
+    )
+    results["model"] = model
+    return results
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="logs/family_convergence")
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--attention_epochs", type=int, default=100)
+    p.add_argument("--results", default=None)
+    p.add_argument("--skip_attention", action="store_true")
+    args = p.parse_args(argv)
+    os.makedirs(args.workdir, exist_ok=True)
+
+    results = {
+        "cls_ssg": run_cls_convergence(
+            args.workdir, "cls_ssg", epochs=args.epochs),
+        "pointnet1_cls": run_cls_convergence(
+            args.workdir, "pointnet1_cls", epochs=args.epochs),
+        "part_seg": run_partseg_convergence(
+            args.workdir, "part_seg", epochs=args.epochs),
+    }
+    if not args.skip_attention:
+        results["sem_seg_attention"] = run_attention_convergence(
+            args.workdir, epochs=args.attention_epochs,
+            n_train_scenes=8, n_val_scenes=2, scene_points=16000,
+            n_points=2048, batch_size=4, precompute_epochs=4,
+            n_epochs_to_val=max(args.attention_epochs // 10, 1),
+        )
+    out = args.results or os.path.join(args.workdir, "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print(json.dumps(results, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,9 +61,15 @@ def main(b: int = 16, n: int = 8192):
         bq = jax.jit(lambda x, c, r=radius: ops.ball_query(x, c, r, 32))
         rows.append((f"ballq    {n_in:5d}@{npoint:4d}", _time(bq, xyz, new_xyz)))
         grp = jax.jit(ops.group_point)
-        gidx, _ = bq(xyz, new_xyz)
+        gidx, gcnt = bq(xyz, new_xyz)
         feats = jnp.asarray(rng.rand(b, n_in, 64).astype(np.float32))
         rows.append((f"group    {n_in:5d}@{npoint:4d}x32", _time(grp, feats, gidx)))
+        # The count-aware Pallas gather the model actually uses at L1
+        # (docs/performance.md opt 6): skips the ~(1 - cnt/nsample) padded
+        # slots the dense gather re-fetches.
+        grpc = jax.jit(ops.group_point_with_counts)
+        rows.append((f"group_cnt{n_in:5d}@{npoint:4d}x32",
+                     _time(grpc, feats, gidx, gcnt)))
         tnn = jax.jit(ops.three_nn)
         rows.append((f"three_nn {n_in:5d}<-{npoint:4d}", _time(tnn, xyz, new_xyz)))
 
