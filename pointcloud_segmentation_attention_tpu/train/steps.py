@@ -79,6 +79,7 @@ def seg_train_step(
     bn_schedule: Callable = schedules.scannet_bn_momentum,
     lr_schedule: Callable = schedules.scannet_learning_rate,
     num_classes: int = 21,
+    remat: str = "none",
 ):
     """One training step on a segmentation batch.
 
@@ -86,6 +87,14 @@ def seg_train_step(
     'weights' (B,N) f32 (pre-multiplied class weight x mask), and optional
     'features' (B,N,K) f32 — or the compact wire format
     (see ``expand_wire_batch``).
+
+    ``remat`` trades recompute FLOPs for activation HBM (``jax.checkpoint``
+    around the loss; the TPU-native lever for growing batch/points past the
+    activation footprint — there is no reference counterpart):
+    'none' stores all activations; 'dots' keeps matmul outputs and
+    recomputes elementwise chains (policy ``dots_saveable``); 'full' stores
+    only the inputs and replays the whole forward in the backward pass.
+    Gradients are bitwise identical either way (same ops, re-executed).
 
     Returns (new_state, metrics) where metrics has scalar 'loss', 'accuracy'
     and the (C, C) 'confusion' update for streaming mIoU.
@@ -111,6 +120,14 @@ def seg_train_step(
         )
         return loss, (logits, mutated["batch_stats"])
 
+    if remat == "full":
+        loss_fn = jax.checkpoint(loss_fn)
+    elif remat == "dots":
+        loss_fn = jax.checkpoint(
+            loss_fn, policy=jax.checkpoint_policies.dots_saveable
+        )
+    elif remat != "none":
+        raise ValueError(f"remat must be 'none'|'dots'|'full', got {remat!r}")
     (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
     )

@@ -137,7 +137,8 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
     train_step = parallel.data_parallel_jit(
         lambda s, b, r: steps.seg_train_step(s, b, r, bn_schedule=bn,
                                              lr_schedule=lr,
-                                             num_classes=config.num_classes),
+                                             num_classes=config.num_classes,
+                                             remat=config.remat),
         mesh, batch_argnums=(1,), donate_argnums=(0,),
     )
     eval_step = parallel.data_parallel_jit(

@@ -33,6 +33,9 @@ class TrainConfig:
     num_classes: int = 21
     attention_single_layer: int = -1
     compute_dtype: str = "float32"  # 'bfloat16' for TPU mixed precision
+    # 'dots' | 'full' rematerialize activations in the backward pass
+    # (jax.checkpoint) — trades recompute for HBM to grow batch/points.
+    remat: str = "none"
     # training
     epochs: int = 500
     batch_size: int = 16

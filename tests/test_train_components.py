@@ -132,6 +132,38 @@ def test_train_step_updates_and_decreases_loss():
     assert m["confusion"].shape == (21, 21)
 
 
+def test_remat_train_step_matches_plain():
+    """remat='dots'/'full' (jax.checkpoint) re-executes the same ops in the
+    backward pass — params after one step must match the plain step."""
+    from functools import partial
+
+    model = models.get_model("sem_seg", num_classes=21, **TINY)
+    batch = _tiny_batch()
+    rng = jax.random.PRNGKey(42)
+
+    def one_step(remat):
+        tx = optax.adam(schedules.scannet_learning_rate)
+        state = create_state(
+            model, tx, jax.random.PRNGKey(0), batch["points"], None, train=False
+        )
+        state, m = jax.jit(partial(seg_train_step, remat=remat))(
+            state, batch, rng
+        )
+        return state, float(m["loss"])
+
+    state0, loss0 = one_step("none")
+    for mode in ("dots", "full"):
+        state1, loss1 = one_step(mode)
+        assert loss1 == pytest.approx(loss0, rel=1e-6)
+        ref = jax.tree_util.tree_leaves(state0.params)
+        got = jax.tree_util.tree_leaves(state1.params)
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=2e-7)
+    with pytest.raises(ValueError):
+        seg_train_step(state0, batch, rng, remat="bogus")
+
+
 def test_eval_step_runs():
     model = models.get_model("sem_seg", num_classes=21, **TINY)
     batch = _tiny_batch()
