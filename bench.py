@@ -110,6 +110,29 @@ def measure_device_step(b=16, n=8192, warmup=110, iters=200):
     return iters * b * n / dt
 
 
+def measure_inference(b=16, n=8192, warmup=40, iters=150):
+    """Full-scene inference rate: the jitted predict step at the eval chunk
+    geometry — the inner step of eval/full_scene.make_sharded_predict_fn
+    (the BASELINE north-star serving path)."""
+    import jax
+
+    from pointcloud_segmentation_attention_tpu.train import seg_predict_step
+
+    state, batch = _make_state_and_batch(b, n)
+    pred = jax.jit(seg_predict_step)
+    logits = pred(state, batch["points"], batch["features"])
+    float(logits[0, 0, 0])
+    for _ in range(warmup):
+        logits = pred(state, batch["points"], batch["features"])
+    float(logits[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        logits = pred(state, batch["points"], batch["features"])
+    float(logits[0, 0, 0])  # sync
+    dt = time.perf_counter() - t0
+    return iters * b * n / dt
+
+
 def measure_end_to_end(b=16, n=8192, warmup=15, iters=60, n_devices=1,
                        wire="f32"):
     """Trainer-path rate: host chunk batching + H2D in a prefetch thread +
@@ -221,6 +244,7 @@ def main():
     device_pps = measure_device_step(b, n)
     e2e_pps = measure_end_to_end(b, n)
     e2e_compact = measure_end_to_end(b, n, wire="compact")
+    infer_pps = measure_inference(b, n)
     scaling = measure_scaling(b_per_chip=b, n=n)
     print(json.dumps({
         "metric": "semseg_features_train_points_per_sec",
@@ -232,6 +256,7 @@ def main():
         "end_to_end_compact_wire": round(e2e_compact, 1),
         "end_to_end_vs_baseline": round(
             max(e2e_pps, e2e_compact) / BASELINE_POINTS_PER_SEC, 3),
+        "inference": round(infer_pps, 1),
         "scaling": scaling,
     }))
 

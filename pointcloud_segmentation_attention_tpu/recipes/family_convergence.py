@@ -108,6 +108,44 @@ def run_partseg_convergence(
     return summary
 
 
+def run_s3dis_convergence(
+    workdir: str,
+    n_train_rooms: int = 4,
+    n_test_rooms: int = 2,
+    room_points: int = 8000,
+    num_point: int = 512,
+    batch_size: int = 8,
+    epochs: int = 20,
+    n_devices: Optional[int] = None,
+    seed: int = 0,
+) -> dict:
+    """PointNet v1 S3DIS semantic segmentation: synthetic rooms -> block
+    dataset -> ``train_s3dis`` -> whole-room stitched mIoU
+    (ref ``pointnet1/sem_seg/train.py`` + ``batch_inference.py``).
+
+    Synthetic rooms give geometry-predictable labels for floor/ceiling/wall
+    only (furniture blob classes are random per room), so the demonstration
+    target is mIoU well above chance from those structural classes.
+    """
+    from pointcloud_segmentation_attention_tpu.data.s3dis import (
+        make_synthetic_room,
+    )
+    from pointcloud_segmentation_attention_tpu.train.s3dis_trainer import (
+        train_s3dis,
+    )
+
+    rooms = [make_synthetic_room(room_points, seed=seed + i)
+             for i in range(n_train_rooms + n_test_rooms)]
+    summary = train_s3dis(
+        rooms[:n_train_rooms], rooms[n_train_rooms:], num_point=num_point,
+        batch_size=batch_size, epochs=epochs,
+        log_dir=os.path.join(workdir, "s3dis"), n_devices=n_devices,
+        seed=seed,
+    )
+    summary["model"] = "pointnet1_sem_seg"
+    return summary
+
+
 def run_attention_convergence(
     workdir: str,
     model: str = "sem_seg_attention",
@@ -149,6 +187,8 @@ def main(argv=None):
             args.workdir, "pointnet1_cls", epochs=args.epochs),
         "part_seg": run_partseg_convergence(
             args.workdir, "part_seg", epochs=args.epochs),
+        "pointnet1_sem_seg": run_s3dis_convergence(
+            args.workdir, epochs=min(args.epochs, 30)),
     }
     if not args.skip_attention:
         results["sem_seg_attention"] = run_attention_convergence(
