@@ -128,8 +128,9 @@ def measure_inference(b=16, n=8192, warmup=40, iters=150):
     t0 = time.perf_counter()
     for _ in range(iters):
         logits = pred(state, batch["points"], batch["features"])
-    float(logits[0, 0, 0])  # sync
+    final = float(logits[0, 0, 0])  # sync
     dt = time.perf_counter() - t0
+    assert np.isfinite(final)
     return iters * b * n / dt
 
 

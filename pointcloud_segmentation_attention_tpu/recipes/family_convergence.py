@@ -62,7 +62,13 @@ def run_cls_convergence(
     classification trainer -> voting evaluator.  Chance accuracy is
     ``1/num_classes``; the summary's ``best_accuracy`` demonstrates learning.
     """
-    data_root = os.path.join(workdir, f"modelnet_synth_{seed}")
+    # Cache key carries every generation parameter — a persistent workdir
+    # must not silently reuse data written with a different config.
+    data_root = os.path.join(
+        workdir,
+        f"modelnet_synth_c{num_classes}_s{shapes_per_class}"
+        f"_n{max(n_points, 256)}_{seed}",
+    )
     if not os.path.exists(data_root):
         write_synthetic_modelnet(
             data_root, num_classes=num_classes,
@@ -92,7 +98,10 @@ def run_partseg_convergence(
 ) -> dict:
     """Synthetic ShapeNet-Part (z-slice parts of category-distinctive
     ellipsoids) -> the real part-seg trainer -> per-category part-IoU."""
-    data_root = os.path.join(workdir, f"shapenet_synth_{seed}")
+    data_root = os.path.join(
+        workdir,
+        f"shapenet_synth_s{n_shapes_per_cat}_n{max(n_points, 256)}_{seed}",
+    )
     if not os.path.exists(data_root):
         write_synthetic_shapenet_part(
             data_root, n_shapes_per_cat=n_shapes_per_cat,

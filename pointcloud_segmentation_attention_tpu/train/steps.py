@@ -94,7 +94,9 @@ def seg_train_step(
     'none' stores all activations; 'dots' keeps matmul outputs and
     recomputes elementwise chains (policy ``dots_saveable``); 'full' stores
     only the inputs and replays the whole forward in the backward pass.
-    Gradients are bitwise identical either way (same ops, re-executed).
+    Gradients are numerically equivalent (same math, re-executed; fusion/
+    reassociation differences leave ~1e-6-relative fp noise — see
+    ``tests/test_train_components.py::test_remat_train_step_matches_plain``).
 
     Returns (new_state, metrics) where metrics has scalar 'loss', 'accuracy'
     and the (C, C) 'confusion' update for streaming mIoU.

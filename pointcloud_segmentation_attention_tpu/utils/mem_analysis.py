@@ -52,6 +52,11 @@ def analyze(b: int = 16, n: int = 8192, modes=("none", "dots", "full")):
                        donate_argnums=(0,))
         compiled = step.lower(state, batch, key).compile()
         ma = compiled.memory_analysis()
+        if ma is None:
+            raise RuntimeError(
+                f"memory_analysis() unsupported on backend "
+                f"{jax.default_backend()!r} — run on TPU"
+            )
         rows.append({
             "remat": mode,
             "temp_mb": ma.temp_size_in_bytes / 2**20,
