@@ -18,10 +18,10 @@ That is ~8x fewer dynamic row accesses than the dense gather, and every
 access stays on-chip.  Indices and counts ride in SMEM so the scalar core
 can drive addresses directly.
 
-Gradient: this op is used forward-only at SA level 1 (its inputs are data,
-not activations); deeper levels keep the XLA path whose scatter-add
-transpose exists (``ops/geometry.group_point``).  ``group_gather_pallas``
-still carries a custom VJP (XLA scatter-add) so it is safe anywhere.
+Gradient: the op carries a custom VJP (XLA scatter-add, the same transpose
+``ops/geometry.group_point`` derives), so it is used at EVERY SA level via
+``ops.group_point_with_counts`` — at level 1 the inputs are data and the
+VJP is dead-code-eliminated; at deeper levels it is live.
 """
 from __future__ import annotations
 
