@@ -161,14 +161,33 @@ def grid_chunk_assign(
     ncy = max(1, int(np.ceil((mx[1] - mn[1]) / cell)))
     lib = _build()
     if lib is None:
-        cells, pids = [], []
-        for i, p in enumerate(points):
-            for cx in range(int((p[0] - mn[0] - margin) // cell), int((p[0] - mn[0] + margin) // cell) + 1):
-                for cy in range(int((p[1] - mn[1] - margin) // cell), int((p[1] - mn[1] + margin) // cell) + 1):
-                    if 0 <= cx < ncx and 0 <= cy < ncy:
-                        cells.append(cx * ncy + cy)
-                        pids.append(i)
-        return np.array(cells, np.int64), np.array(pids, np.int64), ncx, ncy
+        # Vectorized margin-enlarged cell enumeration: each point lands in the
+        # cells its +-margin box overlaps.  Per axis that is
+        # [floor((p-margin)/cell), floor((p+margin)/cell)] — at most
+        # floor(2*margin/cell)+2 offsets — so candidates are a fixed
+        # (N, Kx, Ky) broadcast, masked to the valid range.  Pair order
+        # matches the C++ writer: point-major, then cx, then cy.
+        rel = (points[:, :2].astype(np.float64) - mn[:2])
+        lo = np.floor((rel - margin) / cell).astype(np.int64)  # (N, 2)
+        hi = np.floor((rel + margin) / cell).astype(np.int64)
+        span = hi - lo  # >= 0 per axis
+        kx = int(span[:, 0].max(initial=0)) + 1
+        ky = int(span[:, 1].max(initial=0)) + 1
+        ox = np.arange(kx)[None, :]                      # (1, Kx)
+        oy = np.arange(ky)[None, :]                      # (1, Ky)
+        cx = (lo[:, :1] + ox)[:, :, None]                # (N, Kx, 1)
+        cy = (lo[:, 1:2] + oy)[:, None, :]               # (N, 1, Ky)
+        valid = (
+            (ox[:, :, None] <= span[:, :1, None])        # within this point's x-span
+            & (oy[:, None, :] <= span[:, 1:2, None])     # ... y-span
+            & (cx >= 0) & (cx < ncx) & (cy >= 0) & (cy < ncy)
+        )
+        cell_ids = (cx * ncy + cy) * np.ones((1, kx, ky), np.int64)
+        pids = np.broadcast_to(
+            np.arange(len(points), dtype=np.int64)[:, None, None], valid.shape
+        )
+        flat = valid.reshape(-1)
+        return cell_ids.reshape(-1)[flat], pids.reshape(-1)[flat], ncx, ncy
     capacity = len(points) * 4
     pairs = np.empty((capacity, 2), np.int64)
     n_written = lib.grid_chunk_assign(

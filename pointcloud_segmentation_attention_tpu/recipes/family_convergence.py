@@ -46,6 +46,21 @@ from pointcloud_segmentation_attention_tpu.train.partseg_trainer import (
 )
 
 
+_CACHE_SENTINEL = "DONE"
+
+
+def _cache_complete(data_root: str) -> bool:
+    """A bare directory is not proof of a finished write (a crashed prior
+    generation leaves a partial dir); only the sentinel dropped after a
+    successful generation marks the cache valid."""
+    return os.path.exists(os.path.join(data_root, _CACHE_SENTINEL))
+
+
+def _mark_cache_complete(data_root: str) -> None:
+    with open(os.path.join(data_root, _CACHE_SENTINEL), "w") as f:
+        f.write("ok\n")
+
+
 def run_cls_convergence(
     workdir: str,
     model_name: str = "cls_ssg",
@@ -69,12 +84,13 @@ def run_cls_convergence(
         f"modelnet_synth_c{num_classes}_s{shapes_per_class}"
         f"_n{max(n_points, 256)}_{seed}",
     )
-    if not os.path.exists(data_root):
+    if not _cache_complete(data_root):
         write_synthetic_modelnet(
             data_root, num_classes=num_classes,
             shapes_per_class=shapes_per_class, n_points=max(n_points, 256),
             seed=seed,
         )
+        _mark_cache_complete(data_root)
     summary = train_classification(
         data_root, model_name=model_name, num_classes=num_classes,
         npoints=n_points, batch_size=batch_size, epochs=epochs,
@@ -102,11 +118,12 @@ def run_partseg_convergence(
         workdir,
         f"shapenet_synth_s{n_shapes_per_cat}_n{max(n_points, 256)}_{seed}",
     )
-    if not os.path.exists(data_root):
+    if not _cache_complete(data_root):
         write_synthetic_shapenet_part(
             data_root, n_shapes_per_cat=n_shapes_per_cat,
             n_points=max(n_points, 256), seed=seed,
         )
+        _mark_cache_complete(data_root)
     summary = train_part_segmentation(
         data_root, model_name=model_name, npoints=n_points,
         batch_size=batch_size, epochs=epochs,

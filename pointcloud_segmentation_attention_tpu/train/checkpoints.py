@@ -95,17 +95,49 @@ def best_checkpoint(ckpt_dir: str, prefix: str = "ckpt") -> Optional[str]:
 
 
 def restore_checkpoint(path: str, state: Any) -> Any:
-    """Restore into a template TrainState (shapes/dtypes must match)."""
+    """Restore into a template TrainState (shapes/dtypes must match).
+
+    The template's tree structure must match the checkpoint's exactly — in
+    particular the optimizer tree: ``make_eval_state`` builds an
+    adam-with-schedule state by convention, and a template built with a
+    different optimizer would silently misalign.  On any mismatch this
+    raises ``ValueError`` listing the differing paths instead of a bare
+    ``KeyError``/silent reorder."""
     with np.load(path, allow_pickle=False) as z:
         data = {k: z[k] for k in z.files}
 
-    def rebuild(tree, section):
-        # Reassemble in original tree order via tree_unflatten.
+    def tree_keys(tree, section):
         paths = jax.tree_util.tree_flatten_with_path(tree)[0]
-        ordered = []
+        out = []
         for path, leaf in paths:
             key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-            ordered.append(data[f"{section}/{key}"].astype(np.asarray(leaf).dtype))
+            out.append((f"{section}/{key}", leaf))
+        return out
+
+    template_keys = {
+        k for section, tree in (
+            ("params", state.params),
+            ("batch_stats", state.batch_stats),
+            ("opt_state", state.opt_state),
+        ) for k, _ in tree_keys(tree, section)
+    }
+    ckpt_keys = set(data) - {"step"}
+    if template_keys != ckpt_keys:
+        missing = sorted(ckpt_keys - template_keys)[:8]
+        extra = sorted(template_keys - ckpt_keys)[:8]
+        raise ValueError(
+            f"checkpoint {path!r} tree structure does not match the template "
+            f"state (did the model config or optimizer change?).\n"
+            f"  in checkpoint but not template: {missing}\n"
+            f"  in template but not checkpoint: {extra}"
+        )
+
+    def rebuild(tree, section):
+        # Reassemble in original tree order via tree_unflatten.
+        ordered = [
+            data[k].astype(np.asarray(leaf).dtype)
+            for k, leaf in tree_keys(tree, section)
+        ]
         treedef = jax.tree_util.tree_structure(tree)
         return jax.tree_util.tree_unflatten(treedef, ordered)
 

@@ -68,7 +68,7 @@ def main(b: int = 16, n: int = 8192):
         # (docs/performance.md opt 6): skips the ~(1 - cnt/nsample) padded
         # slots the dense gather re-fetches.
         grpc = jax.jit(ops.group_point_with_counts)
-        rows.append((f"group_cnt{n_in:5d}@{npoint:4d}x32",
+        rows.append((f"grp_cnt  {n_in:5d}@{npoint:4d}x32",
                      _time(grpc, feats, gidx, gcnt)))
         tnn = jax.jit(ops.three_nn)
         rows.append((f"three_nn {n_in:5d}<-{npoint:4d}", _time(tnn, xyz, new_xyz)))

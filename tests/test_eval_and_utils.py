@@ -167,3 +167,27 @@ def test_checkpoint_save_restore_best(tmp_path):
     assert keeper.maybe_save(state, 30, 0.6)
     best = best_checkpoint(ckpt_dir, prefix="best")
     assert "00000030" in best
+
+
+def test_checkpoint_restore_rejects_mismatched_optimizer(tmp_path):
+    # VERDICT r2 weak #7: make_eval_state couples restore to the trainer's
+    # optimizer tree by convention; a structural mismatch must raise with
+    # the differing paths, not silently misalign or KeyError.
+    import jax.numpy as jnp
+    import optax
+    import pytest
+    from pointcloud_segmentation_attention_tpu.train.checkpoints import (
+        restore_checkpoint, save_checkpoint,
+    )
+    from pointcloud_segmentation_attention_tpu.train.train_state import TrainState
+
+    params = {"w": jnp.ones((2, 2))}
+    state = TrainState.create(
+        lambda *a, **k: None, params, {}, optax.adam(1e-3))
+    path = save_checkpoint(str(tmp_path / "ck"), state, 1)
+
+    # Template built with a different optimizer => different opt_state tree.
+    template = TrainState.create(
+        lambda *a, **k: None, params, {}, optax.sgd(1e-3, momentum=0.9))
+    with pytest.raises(ValueError, match="does not match the template"):
+        restore_checkpoint(path, template)
