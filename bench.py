@@ -7,20 +7,25 @@ train step (forward, weighted CE, backward, Adam, BN-EMA, confusion-matrix
 update) at the reference's exact training geometry (batch 16 x 8192 points,
 ``attention_points/train.py:14-17``).
 
-Extras (round-2 additions, VERDICT #3):
+Extras:
 - ``end_to_end``: the honest trainer-path rate — host chunk batching +
   H2D transfer in a prefetch thread + the same jitted step, i.e. the same
   structure as ``train/trainer.py``'s input path, measured by wall clock.
-- ``scaling``: weak-scaling sweep over device counts (fixed per-chip batch,
-  sharded with ``parallel.data_parallel_jit``): points/sec, per-chip rate and
-  efficiency vs 1 device.  On a 1-chip host it degenerates to [1]; the same
-  harness runs on an 8-virtual-CPU mesh in tests (BASELINE.md north star:
-  near-linear chunk throughput 1 chip -> N).
+- ``end_to_end_packed`` / ``end_to_end_packed_q16``: the single-buffer wire
+  formats (data/wire.py) — one device_put per step, decode fused on device;
+  q16 also quantizes points u16 / normals i8 (1.64x fewer bytes).
+- ``attention_step``: device rate of the all-attention-pooling model
+  (the reference project's novel variant), next to the flagship's.
+- ``scaling``: weak-scaling sweep over device counts (fixed per-chip batch).
+
+``--model NAME`` makes NAME the headline model instead (any registry name
+accepted by the sem-seg trainer dispatch).
 
 vs_baseline: the reference's published epoch time — 1201 scenes x 8192 points
 in 85 s with its precomputed-pickle pipeline on a consumer GPU (Report.pdf
 §3.3) ≈ 115.7k training points/sec.
 """
+import argparse
 import json
 import os
 import sys
@@ -31,6 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_POINTS_PER_SEC = 1201 * 8192 / 85.0  # reference epoch, Report.pdf §3.3
+
+# Model registry name -> does the bench feed color+normal features (mirrors
+# the reference's train.py dispatch: only the features model consumes them).
+FEATURE_MODELS = {"sem_seg_features"}
 
 
 def _make_host_chunks(rng, n_chunks, n):
@@ -51,7 +60,7 @@ def _make_host_chunks(rng, n_chunks, n):
     ]
 
 
-def _make_state_and_batch(b, n, seed=0):
+def _make_state_and_batch(b, n, seed=0, model_name="sem_seg_features"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -63,32 +72,36 @@ def _make_state_and_batch(b, n, seed=0):
         schedules,
     )
 
+    use_features = model_name in FEATURE_MODELS
     rng = np.random.RandomState(seed)
     extent = np.array([1.9, 1.9, 2.6], np.float32)
     batch = {
         "points": jnp.asarray((rng.rand(b, n, 3) * extent).astype(np.float32)),
         "labels": jnp.asarray(rng.randint(0, 21, (b, n)).astype(np.int32)),
-        "features": jnp.asarray(rng.rand(b, n, 6).astype(np.float32)),
     }
+    if use_features:
+        batch["features"] = jnp.asarray(rng.rand(b, n, 6).astype(np.float32))
     batch["weights"] = make_sample_weights(
         batch["labels"], jnp.ones((b, n), jnp.float32)
     )
-    model = models.get_model("sem_seg_features", num_classes=21)
+    model = models.get_model(model_name, num_classes=21)
     tx = optax.adam(schedules.scannet_learning_rate)
+    feats0 = batch["features"][:1] if use_features else None
     state = create_state(
-        model, tx, jax.random.PRNGKey(0),
-        batch["points"][:1], batch["features"][:1], train=False,
+        model, tx, jax.random.PRNGKey(0), batch["points"][:1], feats0,
+        train=False,
     )
     return state, batch
 
 
-def measure_device_step(b=16, n=8192, warmup=110, iters=200):
+def measure_device_step(b=16, n=8192, warmup=110, iters=200,
+                        model_name="sem_seg_features"):
     """Device-only jitted train-step rate (points/sec on one chip)."""
     import jax
 
     from pointcloud_segmentation_attention_tpu.train import seg_train_step
 
-    state, batch = _make_state_and_batch(b, n)
+    state, batch = _make_state_and_batch(b, n, model_name=model_name)
     step = jax.jit(seg_train_step, donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
 
@@ -139,20 +152,31 @@ def measure_end_to_end(b=16, n=8192, warmup=15, iters=60, n_devices=1,
     """Trainer-path rate: host chunk batching + H2D in a prefetch thread +
     sharded jitted step — the same input structure as train/trainer.py
     (pipeline.batched -> shard_batch inside the generator -> prefetch).
-    ``wire='compact'`` measures the low-byte wire format (uint8/f16 on the
-    wire, expanded on device)."""
+    ``wire``: 'f32' | 'compact' | 'packed' | 'packed_q16'."""
     import itertools
 
     import jax
 
     from pointcloud_segmentation_attention_tpu import parallel
     from pointcloud_segmentation_attention_tpu.data import pipeline
+    from pointcloud_segmentation_attention_tpu.data.wire import WireSpec
     from pointcloud_segmentation_attention_tpu.train import seg_train_step
+
+    import re
+
+    wire_spec = None
+    m = re.fullmatch(r"packed(_q16)?(?:x(\d+))?", wire)
+    if m:
+        wire_spec = WireSpec(
+            n=n, layout="q16" if m.group(1) else "f32",
+            use_colors=True, use_normals=True,
+        )
 
     state, _ = _make_state_and_batch(b, n)
     mesh = parallel.make_mesh(n_devices)
     step = parallel.data_parallel_jit(
-        seg_train_step, mesh, batch_argnums=(1,), donate_argnums=(0,)
+        lambda s, bt, r: seg_train_step(s, bt, r, wire_spec=wire_spec),
+        mesh, batch_argnums=(1,), donate_argnums=(0,),
     )
     key = jax.random.PRNGKey(1)
 
@@ -177,6 +201,53 @@ def measure_end_to_end(b=16, n=8192, warmup=15, iters=60, n_devices=1,
         state, m = step(state, next(it), key)
     float(m["loss"])  # sync
     dt = time.perf_counter() - t0
+    return iters * b * n / dt
+
+
+def measure_end_to_end_resident(b=16, n=8192, warmup=110, iters=200,
+                                n_chunks=64):
+    """Device-resident replay rate: the packed q16 corpus lives in HBM; the
+    host ships only a (B,) int32 index array per step (train/device_replay.py
+    — the production input path when the corpus fits in device memory)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloud_segmentation_attention_tpu.data.wire import (
+        WireSpec, pack_chunks,
+    )
+    from pointcloud_segmentation_attention_tpu.train.device_replay import (
+        DeviceReplay, make_resident_train_step,
+    )
+
+    from pointcloud_segmentation_attention_tpu.data import pipeline
+
+    spec = WireSpec(n=n, layout="q16", use_colors=True, use_normals=True)
+    rng = np.random.RandomState(3)
+    corpus = pack_chunks(_make_host_chunks(rng, n_chunks, n), spec)
+    replay = DeviceReplay(corpus, spec)
+    state, _ = _make_state_and_batch(b, n)
+    step = make_resident_train_step(spec)
+
+    def idx_batches():
+        for idx in replay.index_stream(b, seed=5):
+            yield jax.device_put(jnp.asarray(idx))
+
+    # Index H2D in a prefetch thread — the same structure as the trainer's
+    # resident path (64 B/step, but the tunnel's per-transfer latency would
+    # otherwise serialize into the step).
+    it = pipeline.prefetch(idx_batches(), depth=4)
+    key = jax.random.PRNGKey(1)
+
+    m = None
+    for _ in range(warmup):
+        state, m = step(state, replay.device_corpus, next(it), key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, replay.device_corpus, next(it), key)
+    final = float(m["loss"])  # sync
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final)
     return iters * b * n / dt
 
 
@@ -241,23 +312,52 @@ def measure_scaling(b_per_chip=16, n=8192, device_counts=None, warmup=20,
 
 
 def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="sem_seg_features",
+                   help="headline model (sem_seg registry name)")
+    p.add_argument("--quick", action="store_true",
+                   help="device step only (short warmup)")
+    args = p.parse_args()
     b, n = 16, 8192
-    device_pps = measure_device_step(b, n)
+
+    if args.quick:
+        device_pps = measure_device_step(b, n, warmup=30, iters=60,
+                                         model_name=args.model)
+        print(json.dumps({
+            "metric": f"{args.model}_train_points_per_sec",
+            "value": round(device_pps, 1), "unit": "points/sec/chip",
+            "vs_baseline": round(device_pps / BASELINE_POINTS_PER_SEC, 3),
+        }))
+        return
+
+    device_pps = measure_device_step(b, n, model_name=args.model)
+    extras = {}
+    if args.model == "sem_seg_features":
+        # Attention variant next to the flagship (VERDICT r2 #3).
+        extras["attention_step"] = round(
+            measure_device_step(b, n, warmup=60, iters=100,
+                                model_name="sem_seg_attention"), 1)
     e2e_pps = measure_end_to_end(b, n)
-    e2e_compact = measure_end_to_end(b, n, wire="compact")
+    e2e_packed16 = measure_end_to_end(b, n, wire="packed_q16")
+    e2e_packed16x4 = measure_end_to_end(b, n, wire="packed_q16x4")
+    e2e_resident = measure_end_to_end_resident(b, n)
     infer_pps = measure_inference(b, n)
     scaling = measure_scaling(b_per_chip=b, n=n)
+    best_e2e = max(e2e_pps, e2e_packed16, e2e_packed16x4, e2e_resident)
     print(json.dumps({
-        "metric": "semseg_features_train_points_per_sec",
+        "metric": f"{args.model}_train_points_per_sec",
         "value": round(device_pps, 1),
         "unit": "points/sec/chip",
         "vs_baseline": round(device_pps / BASELINE_POINTS_PER_SEC, 3),
         "device_step": round(device_pps, 1),
         "end_to_end": round(e2e_pps, 1),
-        "end_to_end_compact_wire": round(e2e_compact, 1),
+        "end_to_end_packed_q16": round(e2e_packed16, 1),
+        "end_to_end_packed_q16x4": round(e2e_packed16x4, 1),
+        "end_to_end_resident": round(e2e_resident, 1),
         "end_to_end_vs_baseline": round(
-            max(e2e_pps, e2e_compact) / BASELINE_POINTS_PER_SEC, 3),
+            best_e2e / BASELINE_POINTS_PER_SEC, 3),
         "inference": round(infer_pps, 1),
+        **extras,
         "scaling": scaling,
     }))
 

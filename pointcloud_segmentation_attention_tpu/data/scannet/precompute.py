@@ -44,17 +44,23 @@ def precompute_train_chunks(
     file naming and the refuse-to-clobber behavior match :39-46).
     ``start_epoch`` resumes an interrupted job (ref ``add_epoch`` :16,28).
     Returns the number of chunks written."""
+    import zlib
+
     os.makedirs(out_dir, exist_ok=True)
     written = 0
     for epoch in range(start_epoch, start_epoch + epochs):
-        for si, name in enumerate(scene_names):
+        for name in scene_names:
             path = _train_chunk_path(out_dir, epoch, name)
             if os.path.exists(path):
                 raise FileExistsError(
                     f"{path} already exists; use start_epoch to resume"
                 )
+            # Keyed by the scene NAME, not its list position: host-sharded
+            # precompute (--num_hosts) must produce bitwise-identical chunks
+            # to a single-host run (tests/test_multihost.py).
             rng = np.random.RandomState(
-                (seed * 1_000_003 + epoch * 8191 + si) % (2**31 - 1)
+                (seed * 1_000_003 + epoch * 8191
+                 + zlib.crc32(name.encode())) % (2**31 - 1)
             )
             scene = scenes_lib.load_scene_mapped(data_root, name)
             pts, nrm = chunks_lib.random_z_rotation(

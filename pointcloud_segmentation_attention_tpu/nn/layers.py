@@ -19,6 +19,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pointcloud_segmentation_attention_tpu.parallel.act_sharding import (
+    constrain_channels,
+)
+
 
 class ScheduledBatchNorm(nn.Module):
     """BatchNorm whose EMA decay is passed per call (traced), like the
@@ -90,6 +94,11 @@ class PointConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias
+        # Under a TP trace (parallel.model_parallel_jit), anchor the output
+        # layout to (data, ..., model) so the partitioner keeps the matmul
+        # split over `model` instead of all-gathering kernels; no-op
+        # otherwise (parallel/act_sharding.py).
+        y = constrain_channels(y)
         if self.bn:
             y = ScheduledBatchNorm(name="bn")(y, train=train, momentum=bn_momentum)
         if self.activation is not None:

@@ -126,7 +126,13 @@ class SetAbstraction(nn.Module):
                 self.npoint, self.radius, self.nsample, xyz, points, self.knn, self.use_xyz
             )
 
-        # Shared MLP over group members (the FLOPs hot loop).
+        # Shared MLP over group members (the FLOPs hot loop).  Keep the
+        # rank-4 (B, np, ns, C) view: XLA picks a {1,3,2,0} layout for the
+        # grouped conv/BN fusions and pays a relayout copy of the gather
+        # output (0.93 ms/step at SA1+SA2) — but a rank-3 (B, np*ns, C)
+        # view that avoids the copy makes the fusions themselves slower
+        # (measured 21.6 -> 25.9 ms full step, round 3; the layout is the
+        # fusions' win, the copy is its price).
         new_points = SharedMLP(self.mlp, compute_dtype=self.compute_dtype, name="mlp")(
             new_points, train=train, bn_momentum=bn_momentum
         )

@@ -16,6 +16,14 @@ from pointcloud_segmentation_attention_tpu.parallel.dist import (
     host_shard,
     initialize_distributed,
 )
+from pointcloud_segmentation_attention_tpu.parallel.act_sharding import (
+    activation_sharding,
+    constrain_channels,
+)
+from pointcloud_segmentation_attention_tpu.parallel.hlo_analysis import (
+    collective_stats,
+    full_kernel_allgathers,
+)
 
 __all__ = [
     "make_mesh",
@@ -29,4 +37,8 @@ __all__ = [
     "model_parallel_jit",
     "initialize_distributed",
     "host_shard",
+    "activation_sharding",
+    "constrain_channels",
+    "collective_stats",
+    "full_kernel_allgathers",
 ]

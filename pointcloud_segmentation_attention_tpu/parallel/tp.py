@@ -83,8 +83,17 @@ def model_parallel_jit(
     ``data``, kernels sharded over ``model`` — dp x tp in one program.
 
     ``state_like`` provides the state pytree structure for the sharding rule
-    (shapes only; it is not captured)."""
+    (shapes only; it is not captured).
+
+    The traced function runs inside an ``activation_sharding`` context, so
+    ``PointConv``/``Dense`` outputs are constrained to P(data, ..., model) —
+    keeping every matmul split over ``model`` (see parallel/act_sharding.py;
+    the HLO-level guarantee is tested in tests/test_tensor_parallel.py)."""
     import inspect
+
+    from pointcloud_segmentation_attention_tpu.parallel.act_sharding import (
+        activation_sharding,
+    )
 
     st_shard = state_sharding(state_like, mesh, model_axis)
     batch_shard = NamedSharding(mesh, P(data_axis))
@@ -97,5 +106,10 @@ def model_parallel_jit(
         st_shard if i == 0 else (batch_shard if i in batch_argnums else repl)
         for i in range(n_args)
     )
-    return jax.jit(fn, in_shardings=in_shardings,
+
+    def fn_constrained(*args, **kwargs):
+        with activation_sharding(mesh, data_axis, model_axis):
+            return fn(*args, **kwargs)
+
+    return jax.jit(fn_constrained, in_shardings=in_shardings,
                    donate_argnums=tuple(donate_argnums))

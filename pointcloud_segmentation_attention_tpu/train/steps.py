@@ -42,7 +42,7 @@ def make_sample_weights(labels, inner_mask, class_weights=None):
     return cw[labels] * inner_mask.astype(jnp.float32)
 
 
-def expand_wire_batch(batch: dict) -> dict:
+def expand_wire_batch(batch: dict, wire_spec=None) -> dict:
     """Compact-wire batch -> standard batch, ON DEVICE (fused into the step).
 
     The compact wire format (``pipeline.make_batch(wire='compact')``) halves
@@ -53,6 +53,29 @@ def expand_wire_batch(batch: dict) -> dict:
     reconstructed here, inside the jitted step.  Points stay f32 (geometry
     parity).  Standard batches pass through untouched.
     """
+    packed_keys = sorted(
+        (k for k in batch if k == "packed" or k.startswith("packed")),
+        key=lambda k: int(k[6:] or 0) if k != "packed" else 0,
+    )
+    if packed_keys:
+        # Single-buffer packed wire (data/wire.py): one u8 array per batch
+        # (or K byte-column slices for the 'xK' split-transfer variant,
+        # re-concatenated here); bitcast/dequant/concat decode fuses into
+        # the step.  ``wire_spec`` (static) describes the record layout.
+        from pointcloud_segmentation_attention_tpu.data.wire import (
+            unpack_batch,
+        )
+
+        if wire_spec is None:
+            raise ValueError(
+                "batch is in packed wire format but no wire_spec was passed "
+                "to the step — close over data.wire.WireSpec when jitting"
+            )
+        if len(packed_keys) == 1:
+            rows = batch[packed_keys[0]]
+        else:
+            rows = jnp.concatenate([batch[k] for k in packed_keys], axis=1)
+        return unpack_batch(rows, wire_spec)
     if "mask" not in batch:
         return batch
     labels = batch["labels"].astype(jnp.int32)
@@ -80,6 +103,7 @@ def seg_train_step(
     lr_schedule: Callable = schedules.scannet_learning_rate,
     num_classes: int = 21,
     remat: str = "none",
+    wire_spec=None,
 ):
     """One training step on a segmentation batch.
 
@@ -101,7 +125,7 @@ def seg_train_step(
     Returns (new_state, metrics) where metrics has scalar 'loss', 'accuracy'
     and the (C, C) 'confusion' update for streaming mIoU.
     """
-    batch = expand_wire_batch(batch)
+    batch = expand_wire_batch(batch, wire_spec)
     bn_momentum = bn_schedule(state.step)
     rng = jax.random.fold_in(dropout_rng, state.step)
     features = batch.get("features")
@@ -153,9 +177,10 @@ def seg_train_step(
     return new_state, metrics
 
 
-def seg_eval_step(state: TrainState, batch: dict, *, num_classes: int = 21):
+def seg_eval_step(state: TrainState, batch: dict, *, num_classes: int = 21,
+                  wire_spec=None):
     """Eval forward pass: loss + confusion update using running BN stats."""
-    batch = expand_wire_batch(batch)
+    batch = expand_wire_batch(batch, wire_spec)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     logits = state.apply_fn(
         variables, batch["points"], batch.get("features"), train=False

@@ -15,6 +15,7 @@ attention_single_layer, use_subset, n_epochs_to_val)`` entry point — built on:
 from __future__ import annotations
 
 import os
+import re
 import time
 from typing import Optional
 
@@ -49,6 +50,23 @@ def select_model(config: TrainConfig):
     if name == "sem_seg_attention_single_layer":
         return models.get_model(name, layer_idx=config.attention_single_layer, **kw)
     return models.get_model(name, **kw)
+
+
+def _make_wire_spec(config: TrainConfig):
+    """WireSpec for the packed single-buffer wire formats (optionally with
+    an 'xK' split-transfer suffix, e.g. 'packed_q16x4'), else None."""
+    import re
+
+    m = re.fullmatch(r"packed(_q16)?(?:x(\d+))?", config.wire_format)
+    if not m:
+        return None
+    from pointcloud_segmentation_attention_tpu.data.wire import WireSpec
+
+    return WireSpec(
+        n=config.n_points,
+        layout="q16" if m.group(1) else "f32",
+        use_colors=config.use_colors, use_normals=config.use_normals,
+    )
 
 
 def make_eval_state(config: TrainConfig):
@@ -97,34 +115,104 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
     # (device_put is thread-safe and async) so chunk loading AND the H2D copy
     # both overlap the device step — critical when the accelerator is remote.
     epochs_avail = _precomputed_epochs(config.precompute_dir, train_scenes)
+    wire_spec = _make_wire_spec(config)
 
-    def _device_batches():
-        host_iter = pipeline.batched(
-            precompute.replay_train_chunks(
-                config.precompute_dir, epochs_avail, train_scenes,
-                shuffle_seed=config.seed,
-            ),
-            config.batch_size, config.use_colors, config.use_normals,
-            wire=config.wire_format,
+    if wire_spec is not None:
+        # Packed wire: build (idempotent) and replay the memmap record store —
+        # the host path per batch is one fancy-index memcpy, and the batch is
+        # already the single H2D buffer (data/scannet/packstore.py).
+        from pointcloud_segmentation_attention_tpu.data.scannet import (
+            packstore,
         )
-        for host_batch in host_iter:
-            yield parallel.shard_batch(host_batch, mesh)
+
+        pack_dir = os.path.join(
+            config.precompute_dir,
+            f"pack_{wire_spec.layout}_c{int(wire_spec.use_colors)}"
+            f"n{int(wire_spec.use_normals)}",
+        )
+        packstore.write_pack_from_npz(
+            config.precompute_dir, pack_dir, epochs_avail, train_scenes,
+            wire_spec,
+        )
+        reader = packstore.PackReader(pack_dir)
+
+        if config.device_replay:
+            # Whole corpus resident in HBM; per-step H2D = a (B,) index
+            # array (train/device_replay.py).
+            from pointcloud_segmentation_attention_tpu.train import (
+                device_replay as dr,
+            )
+
+            total_mb = (reader.epochs * len(reader.scenes)
+                        * wire_spec.row_nbytes) / 2**20
+            if total_mb > config.device_replay_budget_mb:
+                raise ValueError(
+                    f"packed corpus is {total_mb:.0f} MB > "
+                    f"device_replay_budget_mb={config.device_replay_budget_mb}"
+                    " — raise the budget or disable device_replay"
+                )
+            corpus = np.concatenate(
+                [reader._epoch_rows(e) for e in range(reader.epochs)])
+            replay = dr.DeviceReplay(
+                corpus, wire_spec, epoch_len=len(reader.scenes), mesh=mesh)
+
+            def _device_batches():
+                for idx in replay.index_stream(config.batch_size,
+                                               seed=config.seed):
+                    yield {"resident_idx": parallel.shard_batch(idx, mesh)}
+        else:
+            replay = None
+            m = re.fullmatch(r"packed(?:_q16)?(?:x(\d+))?", config.wire_format)
+            n_splits = int(m.group(1) or 1)
+
+            def _device_batches():
+                from pointcloud_segmentation_attention_tpu.data.wire import (
+                    split_wire_batch,
+                )
+
+                for host_batch in reader.replay_batches(
+                        config.batch_size, shuffle_seed=config.seed):
+                    yield parallel.shard_batch(
+                        split_wire_batch(host_batch, n_splits), mesh)
+    else:
+        replay = None
+
+        def _device_batches():
+            host_iter = pipeline.batched(
+                precompute.replay_train_chunks(
+                    config.precompute_dir, epochs_avail, train_scenes,
+                    shuffle_seed=config.seed,
+                ),
+                config.batch_size, config.use_colors, config.use_normals,
+                wire=config.wire_format,
+            )
+            for host_batch in host_iter:
+                yield parallel.shard_batch(host_batch, mesh)
 
     train_iter = pipeline.prefetch(_device_batches(), depth=4)
 
     first = next(train_iter)
-    if use_features:
-        if "features" not in first:
-            raise ValueError(
-                "use_colors/use_normals is set but the precomputed batches "
-                "carry no 'features' array — re-run precompute with the "
-                "feature columns enabled"
-            )
-        feats0 = first["features"][:1]
+    if wire_spec is not None:
+        import jax.numpy as jnp
+
+        k = 3 * int(config.use_colors) + 3 * int(config.use_normals)
+        pts0 = jnp.zeros((1, config.n_points, 3), jnp.float32)
+        feats0 = (jnp.zeros((1, config.n_points, k), jnp.float32)
+                  if use_features and k else None)
+        state = create_state(model, tx, rng, pts0, feats0, train=False)
     else:
-        feats0 = None
-    state = create_state(model, tx, rng, first["points"][:1], feats0,
-                         train=False)
+        if use_features:
+            if "features" not in first:
+                raise ValueError(
+                    "use_colors/use_normals is set but the precomputed "
+                    "batches carry no 'features' array — re-run precompute "
+                    "with the feature columns enabled"
+                )
+            feats0 = first["features"][:1]
+        else:
+            feats0 = None
+        state = create_state(model, tx, rng, first["points"][:1], feats0,
+                             train=False)
     if config.resume:
         # Continue from the newest checkpoint — periodic if present, else the
         # best-val one (the reference resumed by hand-loading a checkpoint
@@ -134,15 +222,30 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
         if ckpt is not None:
             state = restore_checkpoint(ckpt, state)
 
-    train_step = parallel.data_parallel_jit(
-        lambda s, b, r: steps.seg_train_step(s, b, r, bn_schedule=bn,
-                                             lr_schedule=lr,
-                                             num_classes=config.num_classes,
-                                             remat=config.remat),
-        mesh, batch_argnums=(1,), donate_argnums=(0,),
-    )
+    if replay is not None:
+        from pointcloud_segmentation_attention_tpu.train import (
+            device_replay as dr,
+        )
+
+        _res_step = dr.make_resident_train_step(
+            wire_spec, mesh=mesh, bn_schedule=bn, lr_schedule=lr,
+            num_classes=config.num_classes, remat=config.remat,
+        )
+
+        def train_step(s, b, r):
+            return _res_step(s, replay.device_corpus, b["resident_idx"], r)
+    else:
+        train_step = parallel.data_parallel_jit(
+            lambda s, b, r: steps.seg_train_step(s, b, r, bn_schedule=bn,
+                                                 lr_schedule=lr,
+                                                 num_classes=config.num_classes,
+                                                 remat=config.remat,
+                                                 wire_spec=wire_spec),
+            mesh, batch_argnums=(1,), donate_argnums=(0,),
+        )
     eval_step = parallel.data_parallel_jit(
-        lambda s, b: steps.seg_eval_step(s, b, num_classes=config.num_classes),
+        lambda s, b: steps.seg_eval_step(s, b, num_classes=config.num_classes,
+                                         wire_spec=wire_spec),
         mesh, batch_argnums=(1,), donate_argnums=(),
     )
 

@@ -26,8 +26,16 @@ class TrainConfig:
     use_normals: bool = True
     use_subset: bool = False       # first third of train scenes (ablation)
     # 'compact' halves per-step H2D bytes (labels/mask uint8, colors uint8,
-    # normals f16, expanded on device) — see data/pipeline.make_batch.
+    # normals f16, expanded on device); 'packed'/'packed_q16' ship ONE u8
+    # buffer per batch (q16 also quantizes points u16 / normals i8, 14 B/pt)
+    # — see data/pipeline.make_batch and data/wire.py.
     wire_format: str = "f32"
+    # Keep the whole packed chunk corpus resident in HBM and gather batches
+    # on device (train/device_replay.py; requires a packed wire_format).
+    # Per-step H2D shrinks to a (B,) index array — the production path on a
+    # slow/remote host link when the corpus fits the budget below.
+    device_replay: bool = False
+    device_replay_budget_mb: int = 4096
     # model
     model: str = "sem_seg_features"
     num_classes: int = 21

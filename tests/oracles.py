@@ -71,3 +71,72 @@ def three_interpolate_oracle(points, idx, weight):
             for k in range(3):
                 out[bi, i] += weight[bi, i, k] * points[bi, idx[bi, i, k]]
     return out
+
+
+def _softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def attention_pool_oracle(inp, query, wq, bq, wk, bk, wv, bv, num_heads, key_dim):
+    """Literal numpy port of the reference AttentionLayer.call
+    (attention_layer.py:29-45), quirks and all: the raw row-major head-split
+    reshape (:34-35), V reshaped with key_dim although projected to
+    output_dim*heads (:35), softmax over the group axis (:38-39), and the
+    heads*key_dim concat with NO output projection (:41-44).
+
+    inp: (B, np, S, C); query: (B, np, 1, C).  Weights are (in, out) mats.
+    """
+    b, npt, s, _ = inp.shape
+    h, kd = num_heads, key_dim
+    q = query @ wq + bq                       # (B, np, 1, h*kd)
+    q = q[:, :, None]                          # expand_dims axis=2 (:32)
+    k = inp @ wk + bk                          # (B, np, S, h*kd)
+    v = inp @ wv + bv                          # (B, np, S, od*h)
+    # reshape to (B, shape1, heads, shape2, key_dim) (:34-35)
+    q = q.reshape(b, npt, h, 1, kd)
+    k = k.reshape(b, npt, h, s, kd)
+    v = v.reshape(b, npt, h, s, kd)
+    w = (q @ np.swapaxes(k, -1, -2)) / np.sqrt(np.float32(kd))
+    w = _softmax(w, -1)
+    out = w @ v                                # (B, np, h, 1, kd)
+    return out.reshape(b, npt, h * kd)         # concat heads (:41)
+
+
+def inner_attention_oracle(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, key_dim):
+    """Literal numpy port of the reference InnerAttentionLayer.call
+    (attention_layer.py:62-78) INCLUDING the call-convention artifact: the
+    layer receives a one-element LIST, which TF stacks into a rank-5
+    (1, B, np, S, C) tensor, so the (:67-68) reshape splits heads off the
+    channel axis and the matmul/softmax mix the 5 HEADS within each point,
+    not the points within the group.
+
+    x: (B, np, S, C) as the user sees it; the leading stack axis is applied
+    here, as TF's convert_to_tensor([x]) did.
+    """
+    b, npt, s, _ = x.shape
+    h, kd = num_heads, key_dim
+    x5 = x[None]                               # list -> stacked rank 5
+    q = x5 @ wq + bq                           # (1, B, np, S, h*kd)
+    k = x5 @ wk + bk
+    v = x5 @ wv + bv
+    # (1, shape1, shape2, shape3, heads, key_dim) (:67-68)
+    q = q.reshape(1, b, npt, s, h, kd)
+    k = k.reshape(1, b, npt, s, h, kd)
+    v = v.reshape(1, b, npt, s, h, kd)
+    w = (q @ np.swapaxes(k, -1, -2)) / np.sqrt(np.float32(kd))  # (1,B,np,S,h,h)
+    w = _softmax(w, -1)                        # normalises over HEADS (:74)
+    out = w @ v                                # (1, B, np, S, h, kd)
+    cat = out.reshape(b, npt, s, h * kd)       # drops the stack axis (:76-77)
+    return cat @ wo + bo                       # out_net (:78)
+
+
+def feed_forward_oracle(x, weights):
+    """Reference FeedForwardLayer.call (attention_layer.py:95-105), eval mode
+    (tf.layers.dropout is identity when not training).  weights: list of four
+    (w, b) pairs."""
+    for i, (w, b) in enumerate(weights):
+        x = x @ w + b
+        if i < 3:
+            x = np.maximum(x, 0.0)
+    return x

