@@ -204,6 +204,64 @@ def measure_end_to_end(b=16, n=8192, warmup=15, iters=60, n_devices=1,
     return iters * b * n / dt
 
 
+def measure_inference_e2e(b=16, n=8192, warmup=10, iters=40, wire=None,
+                          fetch_logits=False):
+    """Serving-path rate INCLUDING the host link, both directions: chunk
+    assembly + H2D in a prefetch thread + the sharded predict step + the
+    per-batch LABEL FETCH (the structure and data flow of
+    eval.full_scene.predict_scene_chunks).  ``wire='packed_q16'`` uses the
+    packed serving wire; ``fetch_logits=True`` measures the naive variant
+    that pulls full (B, N, C) f32 logits back instead of device-argmaxed
+    labels."""
+    import itertools
+
+    from pointcloud_segmentation_attention_tpu.data import pipeline
+    from pointcloud_segmentation_attention_tpu.data.pipeline import (
+        assemble_features,
+    )
+    from pointcloud_segmentation_attention_tpu.data.wire import (
+        WireSpec, pack_arrays,
+    )
+    from pointcloud_segmentation_attention_tpu.eval import full_scene
+
+    state, _ = _make_state_and_batch(b, n)
+    spec = None
+    if wire == "packed_q16":
+        spec = WireSpec(n=n, layout="q16", use_colors=True, use_normals=True)
+    predict_fn, _ = full_scene.make_sharded_predict_fn(
+        state, n_devices=1, wire_spec=spec,
+        return_labels=not fetch_logits)
+
+    rng = np.random.RandomState(7)
+    chunks = _make_host_chunks(rng, n_chunks=2 * b, n=n)
+
+    def host_batches():
+        for group in itertools.cycle(
+                [chunks[i:i + b] for i in range(0, len(chunks), b)]):
+            pts = np.stack([c["points"] for c in group])
+            if spec is not None:
+                yield (pack_arrays(
+                    pts, np.zeros((b, n), np.uint8), np.ones((b, n), np.uint8),
+                    np.stack([c["colors"] for c in group]),
+                    np.stack([c["normals"] for c in group]), spec),)
+            else:
+                feats = assemble_features(
+                    np.stack([c["colors"] for c in group]),
+                    np.stack([c["normals"] for c in group]), True, True)
+                yield pts, feats
+
+    it = pipeline.prefetch(host_batches(), depth=4)
+    out = None
+    for _ in range(warmup):
+        out = np.asarray(predict_fn(*next(it)))  # consume every batch
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(predict_fn(*next(it)))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(out.reshape(-1)[0])
+    return iters * b * n / dt
+
+
 def measure_end_to_end_resident(b=16, n=8192, warmup=110, iters=200,
                                 n_chunks=64):
     """Device-resident replay rate: the packed q16 corpus lives in HBM; the
@@ -337,26 +395,30 @@ def main():
         extras["attention_step"] = round(
             measure_device_step(b, n, warmup=60, iters=100,
                                 model_name="sem_seg_attention"), 1)
-    e2e_pps = measure_end_to_end(b, n)
+    # The full wire-format comparison (f32 dict / compact / packed / splits)
+    # lives in docs/performance.md; the default bench keeps the production
+    # paths: the best per-step-shipping wire and device-resident replay.
     e2e_packed16 = measure_end_to_end(b, n, wire="packed_q16")
-    e2e_packed16x4 = measure_end_to_end(b, n, wire="packed_q16x4")
     e2e_resident = measure_end_to_end_resident(b, n)
     infer_pps = measure_inference(b, n)
+    serve_q16 = measure_inference_e2e(b, n, wire="packed_q16")
     scaling = measure_scaling(b_per_chip=b, n=n)
-    best_e2e = max(e2e_pps, e2e_packed16, e2e_packed16x4, e2e_resident)
+    best_e2e = max(e2e_packed16, e2e_resident)
     print(json.dumps({
         "metric": f"{args.model}_train_points_per_sec",
         "value": round(device_pps, 1),
         "unit": "points/sec/chip",
         "vs_baseline": round(device_pps / BASELINE_POINTS_PER_SEC, 3),
         "device_step": round(device_pps, 1),
-        "end_to_end": round(e2e_pps, 1),
+        # honest trainer-path rate: device-resident replay (the default
+        # recommendation when the corpus fits HBM; TrainConfig.device_replay)
+        "end_to_end": round(e2e_resident, 1),
         "end_to_end_packed_q16": round(e2e_packed16, 1),
-        "end_to_end_packed_q16x4": round(e2e_packed16x4, 1),
         "end_to_end_resident": round(e2e_resident, 1),
         "end_to_end_vs_baseline": round(
             best_e2e / BASELINE_POINTS_PER_SEC, 3),
         "inference": round(infer_pps, 1),
+        "serving_e2e_packed_q16": round(serve_q16, 1),
         **extras,
         "scaling": scaling,
     }))

@@ -21,27 +21,57 @@ from pointcloud_segmentation_attention_tpu.data.scannet.chunks import map_back
 from pointcloud_segmentation_attention_tpu.data.scannet import precompute
 
 
-def make_sharded_predict_fn(state, n_devices=None):
+def make_sharded_predict_fn(state, n_devices=None, wire_spec=None,
+                            return_labels=False):
     """Wrap ``seg_predict_step`` as a chunk-batch predictor sharded over a
     device mesh: cuboid chunks are scattered across chips, logits gathered —
     the TPU equivalent of 'sharded full-scene inference' (BASELINE.json
     north-star; no counterpart in the reference, which streamed chunks through
     one GPU).  Use a batch_size that is a multiple of the mesh size.
+
+    With ``wire_spec`` (a ``data.wire.WireSpec``) the predictor takes packed
+    u8 rows instead of (points, features) — 14 B/point on the q16 layout vs
+    44 for f32 arrays, the serving-path answer to a slow host link.
+
+    ``return_labels=True`` argmaxes ON DEVICE and returns (B, N) int32
+    labels instead of (B, N, C) f32 logits — 84x less device->host traffic
+    (the logits fetch dominates serving wall time on a slow link).
     """
     import jax
+    import jax.numpy as jnp
 
     from pointcloud_segmentation_attention_tpu import parallel
-    from pointcloud_segmentation_attention_tpu.train.steps import seg_predict_step
+    from pointcloud_segmentation_attention_tpu.train.steps import (
+        seg_predict_step, seg_predict_step_packed,
+    )
 
     mesh = parallel.make_mesh(n_devices)
 
+    def _post(logits):
+        if not return_labels:
+            return logits
+        # u8 labels when classes fit: 4x less D2H than int32 on the wire.
+        dt = jnp.uint8 if logits.shape[-1] <= 255 else jnp.int32
+        return jnp.argmax(logits, axis=-1).astype(dt)
+
+    if wire_spec is not None:
+        step = parallel.data_parallel_jit(
+            lambda s, rows: _post(
+                seg_predict_step_packed(s, rows, wire_spec=wire_spec)),
+            mesh, batch_argnums=(1,), donate_argnums=(),
+        )
+
+        def predict(rows, _features=None):
+            return step(state, parallel.shard_batch(jnp.asarray(rows), mesh))
+
+        return predict, mesh
+
     step = parallel.data_parallel_jit(
-        seg_predict_step, mesh, batch_argnums=(1, 2), donate_argnums=()
+        lambda s, p, f: _post(seg_predict_step(s, p, f)),
+        mesh, batch_argnums=(1, 2), donate_argnums=()
     )
 
     def predict(points, features=None):
-        import jax.numpy as jnp
-
         pts = parallel.shard_batch(jnp.asarray(points), mesh)
         fts = (
             parallel.shard_batch(jnp.asarray(features), mesh)
@@ -58,21 +88,50 @@ def predict_scene_chunks(
     use_colors: bool,
     use_normals: bool,
     batch_size: int = 16,
+    wire_spec=None,
 ) -> np.ndarray:
     """Run predict_fn over all chunks of one scene (padding the last batch)
     and return per-vertex predicted labels (num_vertices,).
 
-    predict_fn(points (B,N,3), features (B,N,K)|None) -> logits (B,N,C).
+    predict_fn(points (B,N,3), features (B,N,K)|None) -> logits (B,N,C);
+    with ``wire_spec``, predict_fn(packed_rows (B, row_nbytes) u8) instead
+    (build it with ``make_sharded_predict_fn(..., wire_spec=spec)``).
     """
     points = scene["points"]
-    feats = assemble_features(
-        scene["colors"] if use_colors else None,
-        scene["normals"] if use_normals else None,
-        use_colors, use_normals,
-    )
+    if wire_spec is not None:
+        from pointcloud_segmentation_attention_tpu.data.wire import (
+            pack_arrays,
+        )
+
+        n = points.shape[1]
+        rows_all = pack_arrays(
+            points.astype(np.float32),
+            np.zeros(points.shape[:2], np.uint8),
+            np.ones(points.shape[:2], np.uint8),
+            scene["colors"] if wire_spec.use_colors else None,
+            scene["normals"] if wire_spec.use_normals else None,
+            wire_spec,
+        )
+        feats = None
+    else:
+        rows_all = None
+        feats = assemble_features(
+            scene["colors"] if use_colors else None,
+            scene["normals"] if use_normals else None,
+            use_colors, use_normals,
+        )
     x = len(points)
     preds = []
     for off in range(0, x, batch_size):
+        if rows_all is not None:
+            rb = rows_all[off:off + batch_size]
+            pad = batch_size - len(rb)
+            if pad:
+                rb = np.concatenate([rb, np.repeat(rb[-1:], pad, axis=0)])
+            out = np.asarray(predict_fn(rb))
+            lab = out if out.ndim == 2 else np.argmax(out, axis=-1)
+            preds.append(lab[: len(points[off:off + batch_size])])
+            continue
         pb = points[off:off + batch_size]
         fb = feats[off:off + batch_size] if feats is not None else None
         pad = batch_size - len(pb)
@@ -80,8 +139,9 @@ def predict_scene_chunks(
             pb = np.concatenate([pb, np.repeat(pb[-1:], pad, axis=0)])
             if fb is not None:
                 fb = np.concatenate([fb, np.repeat(fb[-1:], pad, axis=0)])
-        logits = np.asarray(predict_fn(pb, fb))
-        preds.append(np.argmax(logits, axis=-1)[: len(points[off:off + batch_size])])
+        out = np.asarray(predict_fn(pb, fb))
+        lab = out if out.ndim == 2 else np.argmax(out, axis=-1)
+        preds.append(lab[: len(points[off:off + batch_size])])
     chunk_preds = np.concatenate(preds).astype(np.int32)
     return map_back(
         chunk_preds, scene["orig_idx"], scene["masks"], scene["num_vertices"],
@@ -100,6 +160,7 @@ def generate_predictions(
     with_labels: bool = True,
     npoints: int = 8192,
     save_npy: bool = True,
+    wire_spec=None,
 ) -> Iterator[Dict]:
     """Predict all scenes; writes per-scene npy (points/labels/gt) plus the
     ScanNet-benchmark txt (NYU40 ids, one per line) like
@@ -116,7 +177,8 @@ def generate_predictions(
     for scene in stream:
         name = scene["scene_name"]
         vertex_pred = predict_scene_chunks(
-            predict_fn, scene, use_colors, use_normals, batch_size
+            predict_fn, scene, use_colors, use_normals, batch_size,
+            wire_spec=wire_spec,
         )
         if save_npy:
             np.save(os.path.join(output_dir, f"{name}_points.npy"), scene["vertex_points"])

@@ -122,16 +122,85 @@ def _group_gather_fwd(points, idx, cnt, interpret):
     return _group_gather_fwd_impl(points, idx, cnt, interpret), (idx, points)
 
 
+def _scatter_add_kernel(idx_ref, g_ref, out_ref):
+    # idx_ref (rt, 128) i32 (col 0 = target row); g_ref (rt, c_pad);
+    # out_ref (n_pad, c_pad), accumulated over the row-tile grid dim.
+    rt = idx_ref.shape[0]
+    n_pad = out_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rt, n_pad), 1)
+    onehot = (lane == idx_ref[:, 0:1]).astype(jnp.float32)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # dP[t] += sum_r 1[idx_r == t] * g_r — the scatter-add as an MXU
+    # matmul (contraction spec, not explicit transpose: Mosaic would
+    # materialize onehot.T — see the interpolate kernel's bwd note).
+    out_ref[...] += jax.lax.dot_general(
+        onehot, g_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _scatter_add_mxu(flat_idx, flat_g, n, c, interpret):
+    """sum-scatter flat_g (B, R, C) rows into (B, n, C) by flat_idx (B, R).
+
+    XLA lowers the equivalent `.at[idx].add()` to a serialized per-row
+    scatter (1.4 ms/step across SA2-4 at flagship shapes); with the target
+    set small (<= ~2 k rows) the transpose is an indicator matmul that
+    rides the MXU instead.  bf16-ingest precision class (as the MXU
+    interpolate kernel; gradients, not parameters)."""
+    b, r = flat_idx.shape
+    n_pad = _round_up(n, 128)
+    c_pad = _round_up(c, 128)
+    rt = 512
+    r_pad = _round_up(r, rt)
+    # Padded rows: index 0 with zero update -> contribute nothing.
+    i = jnp.pad(flat_idx.astype(jnp.int32)[..., None],
+                ((0, 0), (0, r_pad - r), (0, 127)))
+    gp = jnp.pad(flat_g.astype(jnp.float32),
+                 ((0, 0), (0, r_pad - r), (0, c_pad - c)))
+    out = pl.pallas_call(
+        _scatter_add_kernel,
+        grid=(b, r_pad // rt),
+        in_specs=[
+            pl.BlockSpec((None, rt, 128), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, rt, c_pad), lambda bi, ri: (bi, ri, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, n_pad, c_pad), lambda bi, ri: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c_pad), jnp.float32),
+        interpret=interpret,
+    )(i, gp)
+    return out[:, :n, :c]
+
+
+def _mxu_scatter_supported(n, c) -> bool:
+    n_pad = _round_up(n, 128)
+    c_pad = _round_up(c, 128)
+    # VMEM: onehot tile (512, n_pad) + out (n_pad, c_pad) + g tile.
+    return (512 * n_pad + n_pad * c_pad + 512 * c_pad) * 4 <= (10 << 20)
+
+
 def _group_gather_bwd(interpret, res, g):
     idx, points = res
     b, n, c = points.shape
     src_dtype = points.dtype
-    # Scatter-add transpose (XLA path, same as geometry.group_point's VJP).
     flat_idx = idx.reshape(b, -1)
-    flat_g = g.reshape(b, -1, c).astype(jnp.float32)
+    flat_g = g.reshape(b, -1, c)
+    if _mxu_scatter_supported(n, c):
+        dpoints = _scatter_add_mxu(flat_idx, flat_g, n, c, interpret)
+        return dpoints.astype(src_dtype), None, None
+    # Scatter-add transpose (XLA path, same as geometry.group_point's VJP) —
+    # for target sets too large for the indicator tile (e.g. SA1's 8192,
+    # whose VJP is DCE'd in the flagship anyway: inputs carry no grad).
     dpoints = jax.vmap(
         lambda fi, fg: jnp.zeros((n, c), jnp.float32).at[fi].add(fg)
-    )(flat_idx, flat_g).astype(src_dtype)
+    )(flat_idx, flat_g.astype(jnp.float32)).astype(src_dtype)
     return dpoints, None, None
 
 

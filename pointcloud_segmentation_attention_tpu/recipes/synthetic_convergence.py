@@ -66,6 +66,8 @@ def run_synthetic_convergence(
     model: str = "sem_seg_features",
     use_colors: bool = True,
     use_normals: bool = True,
+    wire_format: str = "f32",
+    device_replay: bool = False,
 ) -> dict:
     """Run the full pipeline; returns a results dict with
     ``trainer_best_val_miou`` (streaming metric on val chunks) and
@@ -99,6 +101,7 @@ def run_synthetic_convergence(
         use_colors=use_colors, use_normals=use_normals, epochs=epochs,
         batch_size=batch_size, n_epochs_to_val=n_epochs_to_val, seed=seed,
         log_dir=log_dir, n_devices=n_devices, save_every_epochs=0,
+        wire_format=wire_format, device_replay=device_replay,
     )
     summary = trainer_lib.train(config)
 

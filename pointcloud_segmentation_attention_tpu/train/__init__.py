@@ -6,6 +6,7 @@ from pointcloud_segmentation_attention_tpu.train.steps import (
     make_sample_weights,
     seg_eval_step,
     seg_predict_step,
+    seg_predict_step_packed,
     seg_train_step,
 )
 from pointcloud_segmentation_attention_tpu.train.cls_steps import (
@@ -25,6 +26,7 @@ __all__ = [
     "TrainState", "create_state",
     "SCANNET_CLASS_WEIGHTS", "make_sample_weights",
     "seg_train_step", "seg_eval_step", "seg_predict_step",
+    "seg_predict_step_packed",
     "cls_train_step", "cls_eval_step", "partseg_train_step", "partseg_eval_step",
     "joint_train_step", "joint_eval_step", "train_v1_part_segmentation",
 ]

@@ -206,3 +206,14 @@ def seg_predict_step(state: TrainState, points, features=None):
     """Logits for full-scene inference (ref generate_predictions.py:114-141)."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     return state.apply_fn(variables, points, features, train=False)
+
+
+def seg_predict_step_packed(state: TrainState, packed, *, wire_spec):
+    """Packed-wire inference: one u8 buffer in (14 B/point on the q16
+    layout), logits out — the serving-path twin of the packed train step,
+    for host-link-bound deployments (the chunk's label/mask bytes ride
+    along unused)."""
+    batch = expand_wire_batch({"packed": packed}, wire_spec)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return state.apply_fn(
+        variables, batch["points"], batch.get("features"), train=False)

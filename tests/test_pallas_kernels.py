@@ -139,3 +139,23 @@ def test_ball_query_pallas_realistic_n_mixed_density(rng):
         wi, wc = ball_query_oracle(xyz, centers, radius, ns)
         np.testing.assert_array_equal(np.asarray(gi), wi)
         np.testing.assert_array_equal(np.asarray(gc), wc)
+
+
+def test_mxu_scatter_add_matches_xla(rng):
+    """The MXU indicator-matmul scatter-add (group-gather VJP for small
+    target sets) matches the XLA .at[].add() transpose."""
+    from pointcloud_segmentation_attention_tpu.ops.pallas.group_gather_kernel import (
+        _mxu_scatter_supported, _scatter_add_mxu,
+    )
+
+    b, r, n, c = 2, 700, 96, 67
+    assert _mxu_scatter_supported(n, c)
+    idx = jnp.asarray(rng.randint(0, n, (b, r)).astype(np.int32))
+    g = jnp.asarray(rng.randn(b, r, c).astype(np.float32))
+    got = np.asarray(_scatter_add_mxu(idx, g, n, c, interpret=True))
+    want = np.zeros((b, n, c), np.float32)
+    for bi in range(b):
+        np.add.at(want[bi], np.asarray(idx)[bi], np.asarray(g)[bi])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # Huge target sets stay on the XLA scatter path.
+    assert not _mxu_scatter_supported(8192, 512)

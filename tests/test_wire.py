@@ -284,3 +284,76 @@ def test_split_wire_roundtrip():
         {k: jnp.asarray(v) for k, v in split.items()})
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_packed_predict_matches_plain():
+    """The packed-wire serving path (seg_predict_step_packed +
+    predict_scene_chunks(wire_spec=...)) agrees with the f32 path."""
+    import optax
+
+    from pointcloud_segmentation_attention_tpu import models
+    from pointcloud_segmentation_attention_tpu.eval import full_scene
+    from pointcloud_segmentation_attention_tpu.train import create_state
+
+    rng = np.random.RandomState(11)
+    n_chunks, n = 5, 128
+    scene = {
+        "points": (rng.rand(n_chunks, n, 3) * 2).astype(np.float32),
+        "colors": rng.randint(0, 256, (n_chunks, n, 3)).astype(np.int32),
+        "normals": (rng.rand(n_chunks, n, 3) * 2 - 1).astype(np.float32),
+        "masks": np.ones((n_chunks, n), bool),
+        "orig_idx": np.arange(n_chunks * n).reshape(n_chunks, n),
+        "num_vertices": n_chunks * n,
+    }
+    model = models.get_model(
+        "sem_seg_features", num_classes=21,
+        sa_npoints=(32, 16, 8, 4), sa_radii=(0.3, 0.6, 1.0, 1.5))
+    state = create_state(
+        model, optax.adam(1e-3), jax.random.PRNGKey(0),
+        jnp.zeros((1, n, 3)), jnp.zeros((1, n, 6)), train=False)
+
+    plain_fn, _ = full_scene.make_sharded_predict_fn(state, n_devices=1)
+    plain = full_scene.predict_scene_chunks(
+        plain_fn, scene, True, True, batch_size=2)
+
+    spec = WireSpec(n=n, layout="q16", use_colors=True, use_normals=True)
+    packed_fn, _ = full_scene.make_sharded_predict_fn(
+        state, n_devices=1, wire_spec=spec)
+    packed = full_scene.predict_scene_chunks(
+        packed_fn, scene, True, True, batch_size=2, wire_spec=spec)
+    # q16 quantizes points to 0.05 mm and normals to i8 — argmax labels can
+    # flip only at near-ties; demand >= 99 % agreement.
+    agree = (plain == packed).mean()
+    assert agree >= 0.99, agree
+
+
+def test_device_argmax_labels_match_logits_path():
+    import optax
+
+    from pointcloud_segmentation_attention_tpu import models
+    from pointcloud_segmentation_attention_tpu.eval import full_scene
+    from pointcloud_segmentation_attention_tpu.train import create_state
+
+    rng = np.random.RandomState(12)
+    n_chunks, n = 3, 128
+    scene = {
+        "points": (rng.rand(n_chunks, n, 3) * 2).astype(np.float32),
+        "colors": rng.randint(0, 256, (n_chunks, n, 3)).astype(np.int32),
+        "normals": (rng.rand(n_chunks, n, 3) * 2 - 1).astype(np.float32),
+        "masks": np.ones((n_chunks, n), bool),
+        "orig_idx": np.arange(n_chunks * n).reshape(n_chunks, n),
+        "num_vertices": n_chunks * n,
+    }
+    model = models.get_model(
+        "sem_seg_features", num_classes=21,
+        sa_npoints=(32, 16, 8, 4), sa_radii=(0.3, 0.6, 1.0, 1.5))
+    state = create_state(
+        model, optax.adam(1e-3), jax.random.PRNGKey(0),
+        jnp.zeros((1, n, 3)), jnp.zeros((1, n, 6)), train=False)
+
+    logits_fn, _ = full_scene.make_sharded_predict_fn(state, n_devices=1)
+    labels_fn, _ = full_scene.make_sharded_predict_fn(
+        state, n_devices=1, return_labels=True)
+    a = full_scene.predict_scene_chunks(logits_fn, scene, True, True, 2)
+    b = full_scene.predict_scene_chunks(labels_fn, scene, True, True, 2)
+    np.testing.assert_array_equal(a, b)
