@@ -60,7 +60,8 @@ def _make_host_chunks(rng, n_chunks, n):
     ]
 
 
-def _make_state_and_batch(b, n, seed=0, model_name="sem_seg_features"):
+def _make_state_and_batch(b, n, seed=0, model_name="sem_seg_features",
+                          model_kwargs=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -84,7 +85,8 @@ def _make_state_and_batch(b, n, seed=0, model_name="sem_seg_features"):
     batch["weights"] = make_sample_weights(
         batch["labels"], jnp.ones((b, n), jnp.float32)
     )
-    model = models.get_model(model_name, num_classes=21)
+    model = models.get_model(model_name, num_classes=21,
+                             **(model_kwargs or {}))
     tx = optax.adam(schedules.scannet_learning_rate)
     feats0 = batch["features"][:1] if use_features else None
     state = create_state(
@@ -148,7 +150,7 @@ def measure_inference(b=16, n=8192, warmup=40, iters=150):
 
 
 def measure_end_to_end(b=16, n=8192, warmup=15, iters=60, n_devices=1,
-                       wire="f32"):
+                       wire="f32", model_kwargs=None):
     """Trainer-path rate: host chunk batching + H2D in a prefetch thread +
     sharded jitted step — the same input structure as train/trainer.py
     (pipeline.batched -> shard_batch inside the generator -> prefetch).
@@ -172,7 +174,7 @@ def measure_end_to_end(b=16, n=8192, warmup=15, iters=60, n_devices=1,
             use_colors=True, use_normals=True,
         )
 
-    state, _ = _make_state_and_batch(b, n)
+    state, _ = _make_state_and_batch(b, n, model_kwargs=model_kwargs)
     mesh = parallel.make_mesh(n_devices)
     step = parallel.data_parallel_jit(
         lambda s, bt, r: seg_train_step(s, bt, r, wire_spec=wire_spec),
@@ -263,7 +265,7 @@ def measure_inference_e2e(b=16, n=8192, warmup=10, iters=40, wire=None,
 
 
 def measure_end_to_end_resident(b=16, n=8192, warmup=110, iters=200,
-                                n_chunks=64):
+                                n_chunks=64, model_kwargs=None):
     """Device-resident replay rate: the packed q16 corpus lives in HBM; the
     host ships only a (B,) int32 index array per step (train/device_replay.py
     — the production input path when the corpus fits in device memory)."""
@@ -283,7 +285,7 @@ def measure_end_to_end_resident(b=16, n=8192, warmup=110, iters=200,
     rng = np.random.RandomState(3)
     corpus = pack_chunks(_make_host_chunks(rng, n_chunks, n), spec)
     replay = DeviceReplay(corpus, spec)
-    state, _ = _make_state_and_batch(b, n)
+    state, _ = _make_state_and_batch(b, n, model_kwargs=model_kwargs)
     step = make_resident_train_step(spec)
 
     def idx_batches():
@@ -310,7 +312,7 @@ def measure_end_to_end_resident(b=16, n=8192, warmup=110, iters=200,
 
 
 def measure_scaling(b_per_chip=16, n=8192, device_counts=None, warmup=20,
-                    iters=40):
+                    iters=40, model_kwargs=None):
     """Weak-scaling sweep: per-chip batch fixed, global batch grows with the
     mesh.  Returns [{n_devices, points_per_sec, points_per_sec_per_chip,
     efficiency}] with efficiency relative to the 1-device per-chip rate."""
@@ -336,7 +338,7 @@ def measure_scaling(b_per_chip=16, n=8192, device_counts=None, warmup=20,
         step = parallel.data_parallel_jit(
             seg_train_step, mesh, batch_argnums=(1,), donate_argnums=(0,)
         )
-        state, _ = _make_state_and_batch(1, n)  # params replicated by jit
+        state, _ = _make_state_and_batch(1, n, model_kwargs=model_kwargs)
         batch = {
             "points": jnp.asarray((rng.rand(b, n, 3) * extent).astype(np.float32)),
             "labels": jnp.asarray(rng.randint(0, 21, (b, n)).astype(np.int32)),

@@ -46,6 +46,11 @@ def select_model(config: TrainConfig):
     kw = dict(num_classes=config.num_classes)
     if config.compute_dtype == "bfloat16":
         kw["compute_dtype"] = jnp.bfloat16
+    if config.model_overrides:
+        # Tuples, not lists: flax module fields must be hashable.
+        kw.update({k: tuple(tuple(x) if isinstance(x, list) else x
+                            for x in v) if isinstance(v, list) else v
+                   for k, v in config.model_overrides.items()})
     name = config.model
     if name == "sem_seg_attention_single_layer":
         return models.get_model(name, layer_idx=config.attention_single_layer, **kw)

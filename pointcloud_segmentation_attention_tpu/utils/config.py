@@ -41,6 +41,9 @@ class TrainConfig:
     num_classes: int = 21
     attention_single_layer: int = -1
     compute_dtype: str = "float32"  # 'bfloat16' for TPU mixed precision
+    # Extra kwargs for the model constructor (e.g. custom sa_npoints /
+    # sa_mlps hierarchies for the sem-seg family); JSON dict.
+    model_overrides: Optional[dict] = None
     # 'dots' | 'full' rematerialize activations in the backward pass
     # (jax.checkpoint) — trades recompute for HBM to grow batch/points.
     remat: str = "none"
@@ -109,4 +112,6 @@ class TrainConfig:
         for k in ("split_dir", "precompute_dir", "ckpt_dir"):
             if not base.get(k):
                 base.pop(k, None)
+        if isinstance(base.get("model_overrides"), str):
+            base["model_overrides"] = json.loads(base["model_overrides"])
         return cls(**base)

@@ -7,11 +7,18 @@ import numpy as np
 
 import bench
 
+# Tiny hierarchy for harness tests: the full-width flagship costs ~60-160 s
+# of CPU XLA compile per mesh config, which dominated the suite (r3
+# durations); the harness logic is model-independent.
+TINY = dict(sa_npoints=(16, 8, 4, 2), sa_radii=(0.2, 0.4, 0.8, 1.2),
+            sa_nsample=4, sa_mlps=((8, 8),) * 4,
+            fp_mlps=((8,), (8,), (8,), (8, 8)))
+
 
 def test_scaling_sweep_runs_on_virtual_mesh():
     res = bench.measure_scaling(
         b_per_chip=2, n=256, device_counts=[1, len(jax.devices())],
-        warmup=1, iters=2,
+        warmup=1, iters=2, model_kwargs=TINY,
     )
     counts = [r["n_devices"] for r in res]
     assert counts[0] == 1 and counts[-1] == len(jax.devices())
@@ -23,12 +30,14 @@ def test_scaling_sweep_runs_on_virtual_mesh():
 
 
 def test_end_to_end_harness_runs():
-    pps = bench.measure_end_to_end(b=4, n=256, warmup=1, iters=3, n_devices=2)
+    pps = bench.measure_end_to_end(b=4, n=256, warmup=1, iters=3, n_devices=2,
+                                   model_kwargs=TINY)
     assert np.isfinite(pps) and pps > 0
 
 
 def test_end_to_end_packed_wire_harness_runs():
     for wire in ("packed", "packed_q16"):
         pps = bench.measure_end_to_end(b=4, n=256, warmup=1, iters=3,
-                                       n_devices=2, wire=wire)
+                                       n_devices=2, wire=wire,
+                                       model_kwargs=TINY)
         assert np.isfinite(pps) and pps > 0

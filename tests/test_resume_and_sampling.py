@@ -8,6 +8,12 @@ from pointcloud_segmentation_attention_tpu.data import scannet as sc
 from pointcloud_segmentation_attention_tpu.utils import pc_util
 from pointcloud_segmentation_attention_tpu.utils.config import TrainConfig
 
+# Full-width hierarchies cost ~60-100 s of CPU XLA compile per trainer test;
+# the trainer logic under test is hierarchy-independent.
+_TINY_HIERARCHY = {"sa_npoints": [16, 8, 4, 2], "sa_radii": [0.2, 0.4, 0.8, 1.2],
+                         "sa_nsample": 4, "sa_mlps": [[8, 8], [8, 8], [8, 8], [8, 8]],
+                         "fp_mlps": [[8], [8], [8], [8, 8]]}
+
 
 def test_sample_mesh_points_area_weighted():
     # Two triangles: one 100x larger — nearly all samples land on it.
@@ -51,6 +57,7 @@ def test_trainer_resume_continues_step(tmp_path):
         use_normals=False, precompute_dir=pre,
         log_dir=str(tmp_path / "logs"), batch_size=2, n_points=128,
         epochs=2, n_epochs_to_val=1, n_devices=2, save_every_epochs=1,
+        model_overrides=_TINY_HIERARCHY,
     )
     s1 = trainer.train(cfg, max_steps=2)
     assert s1["final_step"] == 2

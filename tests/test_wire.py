@@ -8,6 +8,10 @@ from pointcloud_segmentation_attention_tpu.data.wire import (
     WireSpec, pack_chunks, unpack_batch,
 )
 
+_TINY_HIERARCHY = {"sa_npoints": [16, 8, 4, 2], "sa_radii": [0.2, 0.4, 0.8, 1.2],
+                         "sa_nsample": 4, "sa_mlps": [[8, 8], [8, 8], [8, 8], [8, 8]],
+                         "fp_mlps": [[8], [8], [8], [8, 8]]}
+
 
 def _chunks(b=3, n=64, seed=0):
     rng = np.random.RandomState(seed)
@@ -165,6 +169,7 @@ def test_trainer_packed_wire_end_to_end(tmp_path):
         use_normals=True, precompute_dir=pre, wire_format="packed_q16",
         log_dir=str(tmp_path / "logs"), batch_size=2, n_points=128,
         epochs=1, n_epochs_to_val=1, n_devices=2,
+        model_overrides=_TINY_HIERARCHY,
     )
     s = trainer.train(cfg, max_steps=2)
     assert s["final_step"] == 2
@@ -255,6 +260,7 @@ def test_trainer_device_replay_end_to_end(tmp_path):
         use_normals=True, precompute_dir=pre, wire_format="packed_q16",
         device_replay=True, log_dir=str(tmp_path / "logs"), batch_size=2,
         n_points=128, epochs=1, n_epochs_to_val=1, n_devices=2,
+        model_overrides=_TINY_HIERARCHY,
     )
     s = trainer.train(cfg, max_steps=3)
     assert s["final_step"] == 3
