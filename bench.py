@@ -392,20 +392,36 @@ def main():
 
     device_pps = measure_device_step(b, n, model_name=args.model)
     extras = {}
+
+    def extra(key, fn, *a, **kw):
+        # Extras must not kill the headline on a transient tunnel error.
+        try:
+            extras[key] = round(fn(*a, **kw), 1)
+        except Exception as e:  # noqa: BLE001
+            extras[key] = None
+            extras.setdefault("errors", []).append(f"{key}: {e}"[:200])
+
     if args.model == "sem_seg_features":
         # Attention variant next to the flagship (VERDICT r2 #3).
-        extras["attention_step"] = round(
-            measure_device_step(b, n, warmup=60, iters=100,
-                                model_name="sem_seg_attention"), 1)
+        extra("attention_step", measure_device_step, b, n, warmup=60,
+              iters=100, model_name="sem_seg_attention")
     # The full wire-format comparison (f32 dict / compact / packed / splits)
     # lives in docs/performance.md; the default bench keeps the production
     # paths: the best per-step-shipping wire and device-resident replay.
-    e2e_packed16 = measure_end_to_end(b, n, wire="packed_q16")
-    e2e_resident = measure_end_to_end_resident(b, n)
-    infer_pps = measure_inference(b, n)
-    serve_q16 = measure_inference_e2e(b, n, wire="packed_q16")
-    scaling = measure_scaling(b_per_chip=b, n=n)
-    best_e2e = max(e2e_packed16, e2e_resident)
+    extra("end_to_end_packed_q16", measure_end_to_end, b, n,
+          wire="packed_q16")
+    extra("end_to_end_resident", measure_end_to_end_resident, b, n)
+    extra("inference", measure_inference, b, n)
+    extra("serving_e2e_packed_q16", measure_inference_e2e, b, n,
+          wire="packed_q16")
+    try:
+        scaling = measure_scaling(b_per_chip=b, n=n)
+    except Exception as e:  # noqa: BLE001
+        scaling = []
+        extras.setdefault("errors", []).append(f"scaling: {e}"[:200])
+    e2e_candidates = [extras.get("end_to_end_packed_q16"),
+                      extras.get("end_to_end_resident")]
+    best_e2e = max([x for x in e2e_candidates if x] or [0.0])
     print(json.dumps({
         "metric": f"{args.model}_train_points_per_sec",
         "value": round(device_pps, 1),
@@ -414,13 +430,9 @@ def main():
         "device_step": round(device_pps, 1),
         # honest trainer-path rate: device-resident replay (the default
         # recommendation when the corpus fits HBM; TrainConfig.device_replay)
-        "end_to_end": round(e2e_resident, 1),
-        "end_to_end_packed_q16": round(e2e_packed16, 1),
-        "end_to_end_resident": round(e2e_resident, 1),
+        "end_to_end": extras.get("end_to_end_resident"),
         "end_to_end_vs_baseline": round(
             best_e2e / BASELINE_POINTS_PER_SEC, 3),
-        "inference": round(infer_pps, 1),
-        "serving_e2e_packed_q16": round(serve_q16, 1),
         **extras,
         "scaling": scaling,
     }))
