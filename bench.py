@@ -97,13 +97,14 @@ def _make_state_and_batch(b, n, seed=0, model_name="sem_seg_features",
 
 
 def measure_device_step(b=16, n=8192, warmup=110, iters=200,
-                        model_name="sem_seg_features"):
+                        model_name="sem_seg_features", model_kwargs=None):
     """Device-only jitted train-step rate (points/sec on one chip)."""
     import jax
 
     from pointcloud_segmentation_attention_tpu.train import seg_train_step
 
-    state, batch = _make_state_and_batch(b, n, model_name=model_name)
+    state, batch = _make_state_and_batch(b, n, model_name=model_name,
+                                         model_kwargs=model_kwargs)
     step = jax.jit(seg_train_step, donate_argnums=(0,))
     key = jax.random.PRNGKey(1)
 
