@@ -84,7 +84,8 @@ def gather_batch(device_corpus, idx, spec: WireSpec) -> dict:
     return unpack_batch(rows, spec)
 
 
-def make_resident_train_step(spec: WireSpec, mesh=None, **step_kwargs):
+def make_resident_train_step(spec: WireSpec, mesh=None, donate=True,
+                             **step_kwargs):
     """jit ``(state, corpus, idx, rng) -> (state, metrics)``: the standard
     segmentation train step reading its batch from the resident corpus.
 
@@ -101,8 +102,9 @@ def make_resident_train_step(spec: WireSpec, mesh=None, **step_kwargs):
         batch = gather_batch(corpus, idx, spec)
         return seg_train_step(state, batch, rng, **step_kwargs)
 
+    donate_argnums = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=donate_argnums)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -110,5 +112,5 @@ def make_resident_train_step(spec: WireSpec, mesh=None, **step_kwargs):
     return jax.jit(
         step,
         in_shardings=(repl, repl, NamedSharding(mesh, P("data")), repl),
-        donate_argnums=(0,),
+        donate_argnums=donate_argnums,
     )
