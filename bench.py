@@ -165,15 +165,8 @@ def measure_end_to_end(b=16, n=8192, warmup=15, iters=60, n_devices=1,
     from pointcloud_segmentation_attention_tpu.data.wire import WireSpec
     from pointcloud_segmentation_attention_tpu.train import seg_train_step
 
-    import re
-
-    wire_spec = None
-    m = re.fullmatch(r"packed(_q16)?(?:x(\d+))?", wire)
-    if m:
-        wire_spec = WireSpec(
-            n=n, layout="q16" if m.group(1) else "f32",
-            use_colors=True, use_normals=True,
-        )
+    wire_spec, _ = WireSpec.from_format(wire, n=n, use_colors=True,
+                                        use_normals=True)
 
     state, _ = _make_state_and_batch(b, n, model_kwargs=model_kwargs)
     mesh = parallel.make_mesh(n_devices)

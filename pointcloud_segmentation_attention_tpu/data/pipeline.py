@@ -10,7 +10,6 @@ fixed-shape batch.
 from __future__ import annotations
 
 import queue
-import re
 import threading
 from typing import Dict, Iterable, Iterator, List, Optional
 
@@ -52,32 +51,21 @@ def make_batch(
     half the H2D bytes per step, the measured end-to-end bottleneck on a
     remote-tunneled chip.
     """
-    m = re.fullmatch(r"packed(_q16)?(?:x(\d+))?", wire)
-    if m:
+    from pointcloud_segmentation_attention_tpu.data.wire import (
+        WireSpec, pack_chunks, split_wire_batch,
+    )
+
+    spec, n_splits = WireSpec.from_format(
+        wire, n=chunks[0]["points"].shape[0],
+        use_colors=use_colors, use_normals=use_normals,
+    )
+    if spec is not None:
         # Single-buffer wire (data/wire.py): a batch is one (B, row_nbytes)
         # u8 array -> one H2D transfer; decode fuses into the jitted step.
-        # An 'xK' suffix (e.g. 'packed_q16x4') splits the buffer into K
-        # contiguous byte-column slices shipped as separate arrays — on a
-        # high-latency link concurrent transfers pipeline, so K in-flight
-        # slices beat one big put (measured; the step re-concats on device).
-        from pointcloud_segmentation_attention_tpu.data.wire import (
-            WireSpec, pack_chunks,
-        )
-
-        spec = WireSpec(
-            n=chunks[0]["points"].shape[0],
-            layout="q16" if m.group(1) else "f32",
-            use_colors=use_colors, use_normals=use_normals,
-        )
-        rows = pack_chunks(chunks, spec)
-        k = int(m.group(2) or 1)
-        if k <= 1:
-            return {"packed": rows}
-        bounds = np.linspace(0, rows.shape[1], k + 1).astype(int)
-        return {
-            f"packed{i}": np.ascontiguousarray(rows[:, bounds[i]:bounds[i + 1]])
-            for i in range(k)
-        }
+        # An 'xK' suffix splits it into K concurrent byte-column slices
+        # (measured worse than one buffer on this tunnel; knob kept).
+        return split_wire_batch({"packed": pack_chunks(chunks, spec)},
+                                n_splits)
 
     points = np.stack([c["points"] for c in chunks]).astype(np.float32)
     labels_i = np.stack([c["labels"] for c in chunks])

@@ -49,8 +49,30 @@ def write_pack_from_npz(
     spec: WireSpec,
 ) -> int:
     """Convert precomputed npz chunks into the packed store; returns rows
-    written.  Idempotent per epoch file (skips existing)."""
+    written.  Idempotent per epoch file (skips existing) — growing ``epochs``
+    against the same scenes/spec extends the store.  Any OTHER change
+    (scene list, record layout, points-per-sample) invalidates the existing
+    epoch files, so it raises instead of silently reusing a stale corpus."""
     os.makedirs(pack_dir, exist_ok=True)
+    meta = {
+        "n": spec.n, "layout": spec.layout,
+        "use_colors": spec.use_colors, "use_normals": spec.use_normals,
+        "row_nbytes": spec.row_nbytes,
+        "scenes": list(scene_names), "epochs": epochs,
+    }
+    meta_path = os.path.join(pack_dir, META_NAME)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        mismatched = [k for k in ("n", "layout", "use_colors", "use_normals",
+                                  "row_nbytes", "scenes")
+                      if old.get(k) != meta[k]]
+        if mismatched:
+            raise ValueError(
+                f"pack store {pack_dir!r} was written for different "
+                f"{mismatched} — delete it to rebuild (its epoch files do "
+                f"not match the current chunks)"
+            )
     written = 0
     for epoch in range(epochs):
         path = _epoch_path(pack_dir, epoch)
@@ -62,17 +84,13 @@ def write_pack_from_npz(
             for name in scene_names
         ]
         rows = pack_chunks(chunks, spec)
-        tmp = path + ".tmp"
+        # Unique temp per writer: concurrent multi-host builders over a
+        # shared filesystem must not interleave into one tmp file.
+        tmp = f"{path}.tmp.{os.getpid()}"
         rows.tofile(tmp)
         os.replace(tmp, path)  # atomic: no partial epoch files survive
         written += len(rows)
-    meta = {
-        "n": spec.n, "layout": spec.layout,
-        "use_colors": spec.use_colors, "use_normals": spec.use_normals,
-        "row_nbytes": spec.row_nbytes,
-        "scenes": list(scene_names), "epochs": epochs,
-    }
-    with open(os.path.join(pack_dir, META_NAME), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump(meta, f)
     return written
 

@@ -28,9 +28,12 @@ fixed shapes, single buffer, compiler-fused decode.
 """
 from __future__ import annotations
 
-from typing import Dict, List, NamedTuple, Optional
+import re
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import numpy as np
+
+_FORMAT_RE = re.compile(r"packed(_q16)?(?:x(\d+))?")
 
 
 class WireSpec(NamedTuple):
@@ -41,6 +44,19 @@ class WireSpec(NamedTuple):
     layout: str = "f32"       # 'f32' | 'q16'
     use_colors: bool = True
     use_normals: bool = True
+
+    @classmethod
+    def from_format(cls, fmt: str, n: int, use_colors: bool,
+                    use_normals: bool) -> Tuple[Optional["WireSpec"], int]:
+        """Parse a wire-format string ('packed', 'packed_q16',
+        'packed_q16x4', ...) -> (spec, n_transfer_splits); (None, 1) for
+        non-packed formats.  THE single owner of the format grammar."""
+        m = _FORMAT_RE.fullmatch(fmt)
+        if not m:
+            return None, 1
+        spec = cls(n=n, layout="q16" if m.group(1) else "f32",
+                   use_colors=use_colors, use_normals=use_normals)
+        return spec, int(m.group(2) or 1)
 
     @property
     def header_nbytes(self) -> int:

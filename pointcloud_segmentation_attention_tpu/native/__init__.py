@@ -182,7 +182,7 @@ def grid_chunk_assign(
             & (oy[:, None, :] <= span[:, 1:2, None])     # ... y-span
             & (cx >= 0) & (cx < ncx) & (cy >= 0) & (cy < ncy)
         )
-        cell_ids = (cx * ncy + cy) * np.ones((1, kx, ky), np.int64)
+        cell_ids = np.broadcast_to(cx * ncy + cy, valid.shape)
         pids = np.broadcast_to(
             np.arange(len(points), dtype=np.int64)[:, None, None], valid.shape
         )

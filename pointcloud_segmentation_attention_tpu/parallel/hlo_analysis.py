@@ -46,19 +46,20 @@ def collective_stats(hlo_text: str) -> Dict[str, Dict]:
     }
     for line in hlo_text.splitlines():
         for op in COLLECTIVE_OPS:
-            if f" {op}(" in line or f" {op}-start(" in line:
-                lhs = line.split(f" {op}", 1)[0]
-                total = 0
-                shapes = []
-                for m in _SHAPE_RE.finditer(lhs):
-                    b, shape = _shape_bytes(m.group(1), m.group(2))
-                    total += b
-                    if shape:
-                        shapes.append(shape)
-                stats[op]["count"] += 1
-                stats[op]["bytes"] += total
-                stats[op]["shapes"].extend(shapes)
-                break
+            is_start = f" {op}-start(" in line
+            if not is_start and f" {op}(" not in line:
+                continue
+            lhs = line.split(f" {op}", 1)[0]
+            found = [_shape_bytes(m.group(1), m.group(2))
+                     for m in _SHAPE_RE.finditer(lhs)]
+            if is_start and len(found) > 1:
+                # Async start returns (operand(s)..., destination): count
+                # only the destination buffer, not the input alias.
+                found = found[-1:]
+            stats[op]["count"] += 1
+            stats[op]["bytes"] += sum(b for b, _ in found)
+            stats[op]["shapes"].extend(s for _, s in found if s)
+            break
     return stats
 
 

@@ -48,6 +48,12 @@ class DeviceReplay:
         self.spec = spec
         self.n_rows = int(corpus.shape[0])
         self.epoch_len = int(epoch_len or self.n_rows)
+        if not 0 < self.epoch_len <= self.n_rows:
+            raise ValueError(
+                f"epoch_len {self.epoch_len} outside (0, {self.n_rows}] — "
+                f"out-of-range indices would be silently clamped by the "
+                f"on-device gather"
+            )
         if mesh is not None:
             # Replicate across the mesh so a dp step can gather any row on
             # every device (the corpus is small; activations dominate HBM).
@@ -63,11 +69,13 @@ class DeviceReplay:
         remainder rows carry into the next epoch's batches."""
         rng = np.random.RandomState(seed)
         carry = np.empty((0,), np.int64)
-        n_epochs = max(1, self.n_rows // self.epoch_len)
+        # Cover ALL rows: a trailing partial epoch keeps its (shorter) slot
+        # instead of being silently dropped.
+        bases = list(range(0, self.n_rows, self.epoch_len))
         while True:
-            for e in range(n_epochs):
-                base = e * self.epoch_len
-                order = base + rng.permutation(self.epoch_len)
+            for base in bases:
+                length = min(self.epoch_len, self.n_rows - base)
+                order = base + rng.permutation(length)
                 order = np.concatenate([carry, order])
                 n_full = len(order) // batch_size * batch_size
                 for i in range(0, n_full, batch_size):

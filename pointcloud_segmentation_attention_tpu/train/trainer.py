@@ -15,7 +15,6 @@ attention_single_layer, use_subset, n_epochs_to_val)`` entry point — built on:
 from __future__ import annotations
 
 import os
-import re
 import time
 from typing import Optional
 
@@ -60,18 +59,13 @@ def select_model(config: TrainConfig):
 def _make_wire_spec(config: TrainConfig):
     """WireSpec for the packed single-buffer wire formats (optionally with
     an 'xK' split-transfer suffix, e.g. 'packed_q16x4'), else None."""
-    import re
-
-    m = re.fullmatch(r"packed(_q16)?(?:x(\d+))?", config.wire_format)
-    if not m:
-        return None
     from pointcloud_segmentation_attention_tpu.data.wire import WireSpec
 
-    return WireSpec(
-        n=config.n_points,
-        layout="q16" if m.group(1) else "f32",
+    spec, _ = WireSpec.from_format(
+        config.wire_format, n=config.n_points,
         use_colors=config.use_colors, use_normals=config.use_normals,
     )
+    return spec
 
 
 def make_eval_state(config: TrainConfig):
@@ -133,7 +127,7 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
         pack_dir = os.path.join(
             config.precompute_dir,
             f"pack_{wire_spec.layout}_c{int(wire_spec.use_colors)}"
-            f"n{int(wire_spec.use_normals)}",
+            f"n{int(wire_spec.use_normals)}_p{wire_spec.n}",
         )
         packstore.write_pack_from_npz(
             config.precompute_dir, pack_dir, epochs_avail, train_scenes,
@@ -167,14 +161,17 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
                     yield {"resident_idx": parallel.shard_batch(idx, mesh)}
         else:
             replay = None
-            m = re.fullmatch(r"packed(?:_q16)?(?:x(\d+))?", config.wire_format)
-            n_splits = int(m.group(1) or 1)
+            from pointcloud_segmentation_attention_tpu.data.wire import (
+                WireSpec, split_wire_batch,
+            )
+
+            _, n_splits = WireSpec.from_format(
+                config.wire_format, n=config.n_points,
+                use_colors=config.use_colors,
+                use_normals=config.use_normals,
+            )
 
             def _device_batches():
-                from pointcloud_segmentation_attention_tpu.data.wire import (
-                    split_wire_batch,
-                )
-
                 for host_batch in reader.replay_batches(
                         config.batch_size, shuffle_seed=config.seed):
                     yield parallel.shard_batch(

@@ -77,3 +77,13 @@ def test_collective_stats_and_kernel_detector():
     bad = full_kernel_allgathers(hlo, [(128, 256)])
     assert bad == [(128, 256)]
     assert full_kernel_allgathers(hlo, [(999, 999)]) == []
+
+
+def test_collective_stats_async_tuple_counts_destination_only():
+    # The normal TPU async form: start returns (operand_alias, destination).
+    hlo = ("  %s = (f32[4,128]{1,0}, f32[8,128]{1,0}) "
+           "all-gather-start(%x), dimensions={0}")
+    st = collective_stats(hlo)
+    assert st["all-gather"]["count"] == 1
+    assert st["all-gather"]["bytes"] == 8 * 128 * 4  # destination only
+    assert st["all-gather"]["shapes"] == [(8, 128)]

@@ -174,7 +174,7 @@ def test_trainer_packed_wire_end_to_end(tmp_path):
     s = trainer.train(cfg, max_steps=2)
     assert s["final_step"] == 2
     # The pack store was materialized next to the npz chunks.
-    pack_dir = os.path.join(pre, "pack_q16_c1n1")
+    pack_dir = os.path.join(pre, "pack_q16_c1n1_p128")
     assert os.path.exists(os.path.join(pack_dir, "meta.json"))
     assert os.path.exists(os.path.join(pack_dir, "epoch-0000.pack"))
 
@@ -224,6 +224,8 @@ def test_device_replay_matches_packed_step():
 
 
 def test_device_replay_index_stream_covers_epochs():
+    import pytest
+
     from pointcloud_segmentation_attention_tpu.train.device_replay import (
         DeviceReplay,
     )
@@ -239,6 +241,16 @@ def test_device_replay_index_stream_covers_epochs():
     assert seen.min() >= 0 and seen.max() < 10
     counts = np.bincount(seen, minlength=10)
     assert counts.max() <= 2
+
+    # Non-divisible epoch_len: trailing rows form a shorter final epoch —
+    # every row is covered within one pass (review finding r3).
+    replay7 = DeviceReplay(corpus, spec, epoch_len=7)
+    it7 = replay7.index_stream(batch_size=2, seed=1)
+    seen7 = np.concatenate([next(it7) for _ in range(5)])  # one full pass
+    assert sorted(seen7) == list(range(10))
+    # Out-of-range epoch_len is rejected (the gather would silently clamp).
+    with pytest.raises(ValueError, match="epoch_len"):
+        DeviceReplay(corpus, spec, epoch_len=16)
 
 
 def test_trainer_device_replay_end_to_end(tmp_path):
@@ -363,3 +375,35 @@ def test_device_argmax_labels_match_logits_path():
     a = full_scene.predict_scene_chunks(logits_fn, scene, True, True, 2)
     b = full_scene.predict_scene_chunks(labels_fn, scene, True, True, 2)
     np.testing.assert_array_equal(a, b)
+
+
+def test_packstore_rejects_mismatched_meta(tmp_path):
+    """A pack store written for different scenes/spec must raise, not be
+    silently reused (review finding r3)."""
+    import pytest
+
+    from pointcloud_segmentation_attention_tpu.data import scannet as sc
+    from pointcloud_segmentation_attention_tpu.data.scannet import packstore
+
+    data_root = str(tmp_path / "scannet")
+    splits = sc.write_synthetic_dataset(data_root, n_train=3, n_val=0,
+                                        n_test=0, n_points=2000)
+    pre = str(tmp_path / "chunks")
+    sc.precompute.precompute_train_chunks(data_root, splits["train"], pre,
+                                          epochs=1, npoints=64)
+    spec = WireSpec(n=64, layout="q16", use_colors=True, use_normals=True)
+    pack_dir = str(tmp_path / "pack")
+    packstore.write_pack_from_npz(pre, pack_dir, 1, splits["train"], spec)
+    # Same call again: idempotent.
+    assert packstore.write_pack_from_npz(
+        pre, pack_dir, 1, splits["train"], spec) == 0
+    # Different scene list -> refuse.
+    with pytest.raises(ValueError, match="different"):
+        packstore.write_pack_from_npz(
+            pre, pack_dir, 1, splits["train"][:2], spec)
+    # Different layout -> refuse.
+    spec_f32 = WireSpec(n=64, layout="f32", use_colors=True,
+                        use_normals=True)
+    with pytest.raises(ValueError, match="different"):
+        packstore.write_pack_from_npz(
+            pre, pack_dir, 1, splits["train"], spec_f32)
