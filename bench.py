@@ -200,7 +200,7 @@ def measure_end_to_end(b=16, n=8192, warmup=15, iters=60, n_devices=1,
     return iters * b * n / dt
 
 
-def measure_inference_e2e(b=16, n=8192, warmup=10, iters=40, wire=None,
+def measure_inference_e2e(b=16, n=8192, warmup=10, iters=60, wire=None,
                           fetch_logits=False):
     """Serving-path rate INCLUDING the host link, both directions: chunk
     assembly + H2D in a prefetch thread + the sharded predict step + the
