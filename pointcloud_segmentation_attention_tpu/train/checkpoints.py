@@ -6,8 +6,10 @@ Replaces ``tf.train.Saver`` usage: the reference saves
 ``tf.train.latest_checkpoint`` for inference
 (``benchmark/generate_predictions.py:128-130``).
 
-Uses orbax when available; falls back to a plain numpy-pytree writer (kept as
-the default for portability — state dicts are flat np arrays either way).
+Storage is a plain numpy-pytree writer (npz + json manifest): flat, portable,
+dependency-free, and byte-identical across hosts.  (orbax would add async
+multi-host checkpointing; this framework's states are single-digit MB, so
+the simple writer is deliberate.)
 """
 from __future__ import annotations
 
