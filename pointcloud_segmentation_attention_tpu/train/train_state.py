@@ -2,7 +2,8 @@
 
 Replaces the reference's TF global-variable soup (``tf.train.AdamOptimizer`` +
 ``tf.contrib.layers.batch_norm`` EMA variables + global_step) with one pytree
-that can be sharded/replicated over a device mesh and checkpointed with orbax.
+that can be sharded/replicated over a device mesh and checkpointed as a
+flat numpy pytree (train/checkpoints.py).
 """
 from __future__ import annotations
 
