@@ -92,13 +92,48 @@ def gather_batch(device_corpus, idx, spec: WireSpec) -> dict:
     return unpack_batch(rows, spec)
 
 
+def rotate_batch_z(batch: dict, spec: WireSpec, rng) -> dict:
+    """Fresh per-sample random z-rotation of a resident batch, ON DEVICE.
+
+    Precomputed chunks bake ONE rotation per (epoch, scene)
+    (``chunks.random_z_rotation``, ref data_transformation.py:334-352);
+    with the corpus resident, re-rotating per step costs one fused 2x2
+    matmul and multiplies augmentation diversity by the number of visits —
+    diversity the reference's pickle pipeline could not afford.  Rotates
+    points and (when present) the normals columns of the feature concat,
+    exactly the host rotation's semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    b = batch["points"].shape[0]
+    angle = jax.random.uniform(rng, (b,), jnp.float32, 0.0, 2.0 * jnp.pi)
+    c, s = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
+
+    def rot(v):  # (B, N, 3) rotated about z by the per-sample angle
+        x, y, z = v[..., 0], v[..., 1], v[..., 2]
+        return jnp.stack([x * c + y * s, -x * s + y * c, z], axis=-1)
+
+    out = dict(batch)
+    out["points"] = rot(batch["points"])
+    if spec.use_normals and "features" in batch:
+        off = 3 * int(spec.use_colors)
+        feats = batch["features"]
+        out["features"] = jnp.concatenate(
+            [feats[..., :off], rot(feats[..., off:off + 3]),
+             feats[..., off + 3:]], axis=-1)
+    return out
+
+
 def make_resident_train_step(spec: WireSpec, mesh=None, donate=True,
-                             **step_kwargs):
+                             augment=False, **step_kwargs):
     """jit ``(state, corpus, idx, rng) -> (state, metrics)``: the standard
     segmentation train step reading its batch from the resident corpus.
 
     With a mesh, the state is replicated, the corpus replicated, and the
     index array sharded over ``data`` — each device gathers only its rows.
+    ``augment=True`` applies a fresh per-sample z-rotation each step
+    (``rotate_batch_z``; folded from the step's rng and the optimizer step,
+    so every visit to a chunk sees a new orientation).
     """
     import jax
 
@@ -108,6 +143,10 @@ def make_resident_train_step(spec: WireSpec, mesh=None, donate=True,
 
     def step(state, corpus, idx, rng):
         batch = gather_batch(corpus, idx, spec)
+        if augment:
+            aug_rng = jax.random.fold_in(
+                jax.random.fold_in(rng, 77), state.step)
+            batch = rotate_batch_z(batch, spec, aug_rng)
         return seg_train_step(state, batch, rng, **step_kwargs)
 
     donate_argnums = (0,) if donate else ()

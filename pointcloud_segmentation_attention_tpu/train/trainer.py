@@ -232,6 +232,7 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
         _res_step = dr.make_resident_train_step(
             wire_spec, mesh=mesh, bn_schedule=bn, lr_schedule=lr,
             num_classes=config.num_classes, remat=config.remat,
+            augment=config.resident_augment,
         )
 
         def train_step(s, b, r):

@@ -36,6 +36,10 @@ class TrainConfig:
     # slow/remote host link when the corpus fits the budget below.
     device_replay: bool = False
     device_replay_budget_mb: int = 4096
+    # Fresh per-sample z-rotation EVERY step on the resident corpus (the
+    # precomputed chunks bake one rotation per epoch; this multiplies
+    # augmentation diversity at ~zero device cost).
+    resident_augment: bool = False
     # model
     model: str = "sem_seg_features"
     num_classes: int = 21

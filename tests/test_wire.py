@@ -407,3 +407,67 @@ def test_packstore_rejects_mismatched_meta(tmp_path):
     with pytest.raises(ValueError, match="different"):
         packstore.write_pack_from_npz(
             pre, pack_dir, 1, splits["train"], spec_f32)
+
+
+def test_rotate_batch_z_matches_host_rotation():
+    """On-device per-sample z-rotation == the host chunk rotation for the
+    same angle (points and the normals feature columns; colors untouched)."""
+    from pointcloud_segmentation_attention_tpu.train.device_replay import (
+        rotate_batch_z,
+    )
+
+    rng = np.random.RandomState(5)
+    b, n = 3, 64
+    spec = WireSpec(n=n, layout="q16", use_colors=True, use_normals=True)
+    batch = {
+        "points": jnp.asarray(rng.randn(b, n, 3).astype(np.float32)),
+        "labels": jnp.asarray(rng.randint(0, 21, (b, n)).astype(np.int32)),
+        "weights": jnp.asarray(rng.rand(b, n).astype(np.float32)),
+        "features": jnp.asarray(rng.rand(b, n, 6).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(9)
+    out = jax.jit(lambda bt: rotate_batch_z(bt, spec, key))(batch)
+
+    # Recover the angles the jax rng produced and apply the HOST rotation.
+    angles = np.asarray(jax.random.uniform(key, (b,), jnp.float32,
+                                           0.0, 2.0 * np.pi))
+    for bi in range(b):
+        c, s = np.cos(angles[bi]), np.sin(angles[bi])
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        np.testing.assert_allclose(
+            np.asarray(out["points"][bi]),
+            np.asarray(batch["points"][bi]) @ rot, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out["features"][bi, :, 3:]),
+            np.asarray(batch["features"][bi, :, 3:]) @ rot,
+            rtol=1e-5, atol=1e-5)
+    # Colors, labels, weights pass through untouched.
+    np.testing.assert_array_equal(np.asarray(out["features"][..., :3]),
+                                  np.asarray(batch["features"][..., :3]))
+    np.testing.assert_array_equal(np.asarray(out["labels"]),
+                                  np.asarray(batch["labels"]))
+
+
+def test_trainer_resident_augment_end_to_end(tmp_path):
+    from pointcloud_segmentation_attention_tpu.data import scannet as sc
+    from pointcloud_segmentation_attention_tpu.train import trainer
+    from pointcloud_segmentation_attention_tpu.utils.config import TrainConfig
+
+    data_root = str(tmp_path / "scannet")
+    splits = sc.write_synthetic_dataset(data_root, n_train=2, n_val=1,
+                                        n_test=0, n_points=4000)
+    pre = str(tmp_path / "chunks")
+    sc.precompute.precompute_train_chunks(data_root, splits["train"], pre,
+                                          epochs=1, npoints=128)
+    sc.precompute.precompute_val_chunks(data_root, splits["val"], pre,
+                                        npoints=128)
+    cfg = TrainConfig(
+        data_root=data_root, model="sem_seg_features", use_colors=True,
+        use_normals=True, precompute_dir=pre, wire_format="packed_q16",
+        device_replay=True, resident_augment=True,
+        log_dir=str(tmp_path / "logs"), batch_size=2, n_points=128,
+        epochs=1, n_epochs_to_val=1, n_devices=2,
+        model_overrides=_TINY_HIERARCHY,
+    )
+    s = trainer.train(cfg, max_steps=2)
+    assert s["final_step"] == 2
