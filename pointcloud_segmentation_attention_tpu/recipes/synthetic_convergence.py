@@ -68,6 +68,7 @@ def run_synthetic_convergence(
     use_normals: bool = True,
     wire_format: str = "f32",
     device_replay: bool = False,
+    resident_augment: bool = False,
 ) -> dict:
     """Run the full pipeline; returns a results dict with
     ``trainer_best_val_miou`` (streaming metric on val chunks) and
@@ -102,6 +103,7 @@ def run_synthetic_convergence(
         batch_size=batch_size, n_epochs_to_val=n_epochs_to_val, seed=seed,
         log_dir=log_dir, n_devices=n_devices, save_every_epochs=0,
         wire_format=wire_format, device_replay=device_replay,
+        resident_augment=resident_augment,
     )
     summary = trainer_lib.train(config)
 
