@@ -125,3 +125,21 @@ def test_sampling_train_step_on_mesh():
     state2, m2 = step(state, ids, jax.random.PRNGKey(1))
     assert np.isfinite(float(m2["loss"]))
     assert float(m2["loss"]) != float(m["loss"])
+
+
+def test_zero_precompute_recipe_smoke(tmp_path):
+    """The zero-precompute recipe runs end to end (tiny): scenes resident,
+    sampling steps, stitched eval — and never creates a precompute dir."""
+    import os
+
+    from pointcloud_segmentation_attention_tpu.recipes.zero_precompute import (
+        run_zero_precompute,
+    )
+
+    out = run_zero_precompute(
+        str(tmp_path), n_train_scenes=2, n_val_scenes=1, scene_points=4000,
+        n_points=128, batch_size=2, epochs=2, n_devices=2)
+    assert np.isfinite(out["final_loss"])
+    assert np.isfinite(out["offline_mean_iou"])
+    assert not os.path.exists(
+        str(tmp_path / "scannet_synth" / "precomputed"))
