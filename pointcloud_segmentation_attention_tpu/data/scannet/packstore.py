@@ -73,6 +73,10 @@ def write_pack_from_npz(
                 f"{mismatched} — delete it to rebuild (its epoch files do "
                 f"not match the current chunks)"
             )
+        # Never shrink an existing store's view: a caller asking for fewer
+        # epochs than already written would otherwise orphan the extra
+        # epoch-*.pack files while the meta silently hid them from readers.
+        meta["epochs"] = max(meta["epochs"], old.get("epochs", 0))
     written = 0
     for epoch in range(epochs):
         path = _epoch_path(pack_dir, epoch)

@@ -138,9 +138,14 @@ def _scatter_add_kernel(idx_ref, g_ref, out_ref):
     # dP[t] += sum_r 1[idx_r == t] * g_r — the scatter-add as an MXU
     # matmul (contraction spec, not explicit transpose: Mosaic would
     # materialize onehot.T — see the interpolate kernel's bwd note).
+    # Precision HIGHEST: the default MXU bf16-ingest would silently change
+    # gradient accumulation numerics vs the f32 XLA scatter-add this
+    # replaces; the indicator operand is exact either way, but the gradient
+    # operand is not (advisor r3).
     out_ref[...] += jax.lax.dot_general(
         onehot, g_ref[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

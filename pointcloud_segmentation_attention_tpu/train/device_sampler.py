@@ -4,10 +4,10 @@ The reference found its in-graph chunk sampler so slow it PRECOMPUTED
 chunks to disk (Report.pdf §3.3, ``precompute_dataset.py``) — and the
 host-side numpy port (``data/scannet/chunks.sample_random_chunk``) inherits
 that design.  On TPU the economics invert: the sampler is a handful of
-fixed-shape masks, one scatter-max occupancy histogram, and a
-``prob_sample`` draw — microseconds on the VPU — so raw SCENES can live in
-HBM (real ScanNet: ~180M points x 26 B ≈ 4.7 GB f32, or less quantized)
-and every training step can cut a FRESH random cuboid on device:
+fixed-shape masks, one occupancy count, and a ``prob_sample`` draw —
+microseconds on the VPU — so raw SCENES can live in HBM (real ScanNet:
+~180M points x 26 B ≈ 4.7 GB f32, or less quantized) and every training
+step can cut a FRESH random cuboid on device:
 
 - no precompute pass, no chunk corpus on disk,
 - unlimited epoch diversity (every visit samples a new chunk, vs the
@@ -15,16 +15,35 @@ and every training step can cut a FRESH random cuboid on device:
 - per-step H2D = a (B,) scene-id array.
 
 Semantics mirror ``sample_random_chunk`` (ref data_transformation.py:70-154)
-exactly in structure: random center point, 1.5 m x 1.5 m xy cuboid with a
-0.2 m context margin, validity retries (<= 10) requiring >= 70 % labeled
-candidates and >= 2 % occupancy on the 31x31x62 voxel grid, degenerate
-fallback to the whole scene, ``npoints`` drawn with replacement, weight =
-class_weight[label] * inside-inner-box.  (The RNG streams differ from the
-numpy sampler's, so individual chunks differ; the structural contract and
-its statistics are tested in ``tests/test_device_sampler.py``.)
+in structure: random center point, 1.5 m x 1.5 m xy cuboid with a 0.2 m
+context margin, validity retries (<= 10) requiring >= 70 % labeled
+candidates and >= 2 % occupancy on the 31x31x62 voxel grid, retry-exhausted
+fallback to the LAST tried candidate-bearing box (ref :141-145 'if fails,
+get the last' — the whole scene only in the no-candidates degenerate case),
+``npoints`` drawn with replacement, weight = class_weight[label] *
+inside-inner-box.  (The RNG streams differ from the numpy sampler's, so
+individual chunks differ; the structural contract and its statistics are
+tested in ``tests/test_device_sampler.py``.)
+
+Occupancy check, TPU-shaped: the host port fits the 31x31x62 grid to the
+candidate bbox and counts distinct voxels — on device that was a full-window
+sort per retry (the dominant cost: ~43 of a 64 ms sampling step at flagship
+geometry).  Here each scene is sorted ONCE (at upload, on host) by a
+scene-anchored voxel id whose cells are chunk-sized/31 in xy and
+scene-height/62 in z; the distinct-voxels-among-candidates count then
+collapses to one cumsum + two gathers per retry ("first candidate in its
+voxel run" counting — no sort, no scatter, both of which serialize on TPU).
+The grid is anchored to the scene instead of refit to each candidate bbox,
+an intentional, measured approximation of the validity heuristic (decision
+agreement is asserted in tests); ``occupancy='exact'`` keeps the bbox-fit
+sort path for A/B.
 
 Scenes of different sizes ride in one concatenated buffer with per-scene
-(offset, length); each sample works on a fixed ``max_len`` window.
+(offset, length); each sample works on a fixed ``max_len`` window.  The
+buffer carries ``max_len`` rows of tail padding so the window slice never
+clamps (a clamped ``dynamic_slice`` start would silently misalign the
+window with the per-scene offsets and bleed the previous scene's points
+into the sample).
 """
 from __future__ import annotations
 
@@ -44,12 +63,42 @@ from pointcloud_segmentation_attention_tpu.train.steps import (
 _N_VOXELS = int(np.prod(OCCUPANCY_GRID))
 
 
+def scene_voxel_sort(points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side, once per scene: sort order by scene-anchored voxel id +
+    per-point first-index-of-my-voxel-run (relative to the sorted scene).
+
+    Cell sizes: (chunk + 2*margin)/31 in xy — so a candidate box spans ~31
+    cells like the reference's bbox-fit grid — and scene z extent / 62.
+    Returns ``(order, run_start_rel)`` with ``run_start_rel`` indexed in
+    sorted order.
+    """
+    lo = points.min(axis=0)
+    cxy = (CHUNK_SIZE + 2 * CONTEXT_MARGIN) / OCCUPANCY_GRID[0]
+    cz = max(float(points[:, 2].max() - lo[2]), 1e-6) / OCCUPANCY_GRID[2]
+    vx = np.floor((points[:, 0] - lo[0]) / cxy).astype(np.int64)
+    vy = np.floor((points[:, 1] - lo[1]) / cxy).astype(np.int64)
+    vz = np.minimum((points[:, 2] - lo[2]) / cz,
+                    OCCUPANCY_GRID[2] - 1).astype(np.int64)
+    vid = (vx * (vy.max() + 1) + vy) * OCCUPANCY_GRID[2] + vz
+    order = np.argsort(vid, kind="stable")
+    sorted_vid = vid[order]
+    new_run = np.empty(len(points), bool)
+    new_run[0] = True
+    np.not_equal(sorted_vid[1:], sorted_vid[:-1], out=new_run[1:])
+    run_start_rel = np.maximum.accumulate(
+        np.where(new_run, np.arange(len(points)), 0)).astype(np.int32)
+    return order, run_start_rel
+
+
 class ResidentScenes:
     """Concatenate scene arrays and upload them once.
 
     points (T, 3) f32, labels (T,) i32, colors (T, 3) u8, normals (T, 3)
     f32; ``offsets`` (S,) / ``lengths`` (S,) index scenes into the buffer.
     ``max_len`` (static) = longest scene, the per-sample window size.
+    Scene points are voxel-sorted (``scene_voxel_sort``) so the sampler's
+    occupancy check is sort-free; the buffer is padded by ``max_len`` rows
+    so window slices never clamp.
     """
 
     def __init__(self, scenes: List[Dict[str, np.ndarray]], mesh=None,
@@ -64,6 +113,10 @@ class ResidentScenes:
         self.use_colors = use_colors
         self.use_normals = use_normals
 
+        orders, run_starts = zip(*(
+            scene_voxel_sort(np.asarray(s["points"], np.float32))
+            for s in scenes))
+
         def put(x):
             if mesh is None:
                 return jax.device_put(x)
@@ -71,20 +124,28 @@ class ResidentScenes:
 
             return jax.device_put(x, NamedSharding(mesh, P()))
 
-        cat = lambda k, dt: put(np.concatenate(
-            [np.asarray(s[k]) for s in scenes]).astype(dt))
+        def cat(k, dt):
+            parts = [np.asarray(s[k])[o] for s, o in zip(scenes, orders)]
+            pad_shape = (self.max_len,) + parts[0].shape[1:]
+            parts.append(np.zeros(pad_shape, parts[0].dtype))
+            return put(np.concatenate(parts).astype(dt))
+
         self.points = cat("points", np.float32)
         self.labels = cat("labels", np.int32)
         self.colors = cat("colors", np.uint8) if use_colors else None
         self.normals = cat("normals", np.float32) if use_normals else None
+        self.run_start = put(np.concatenate(
+            list(run_starts) + [np.zeros(self.max_len, np.int32)]))
         self.d_offsets = put(offsets)
         self.d_lengths = put(lengths)
 
 
-def _occupancy_fraction(pts, cand):
-    """Fraction of occupied voxels among candidate points — the jnp twin of
-    ``chunks._voxel_occupancy`` (ref data_transformation.py:127-138), with
-    non-candidates routed to a sentinel bin."""
+def _occupancy_fraction_exact(pts, cand):
+    """Fraction of occupied voxels among candidate points, bbox-fit grid —
+    the jnp twin of ``chunks._voxel_occupancy`` (ref
+    data_transformation.py:127-138), with non-candidates routed to a
+    sentinel bin.  One full-window sort per call: the A/B reference for the
+    default sort-free path, not the production sampler."""
     import jax.numpy as jnp
 
     big = jnp.float32(1e30)
@@ -107,9 +168,22 @@ def _occupancy_fraction(pts, cand):
     return (transitions + first_real) / _N_VOXELS
 
 
-def _sample_one(points, labels, colors, normals, offset, length, key,
-                *, npoints: int, max_len: int, class_weights,
-                with_box: bool = False):
+def _occupancy_fraction_fast(win_run_start, cand, max_len: int):
+    """Distinct-voxels-among-candidates on a voxel-PRESORTED window: point i
+    is counted iff it is the first candidate of its voxel run.  One cumsum +
+    two gathers — no sort (43 ms/step cheaper at flagship geometry)."""
+    import jax.numpy as jnp
+
+    c = jnp.cumsum(cand.astype(jnp.int32))               # inclusive counts
+    c0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), c])
+    before_run = c0[jnp.clip(win_run_start, 0, max_len)]  # cands before run
+    first_in_run = cand & (c - 1 == before_run)
+    return jnp.sum(first_in_run.astype(jnp.float32)) / _N_VOXELS
+
+
+def _sample_one(points, labels, colors, normals, run_start, offset, length,
+                key, *, npoints: int, max_len: int, class_weights,
+                occupancy: str = "fast", with_box: bool = False):
     """Sample one chunk from one scene window; returns a chunk dict of
     fixed shapes (npoints rows)."""
     import jax
@@ -118,6 +192,7 @@ def _sample_one(points, labels, colors, normals, offset, length, key,
 
     win_pts = lax.dynamic_slice(points, (offset, 0), (max_len, 3))
     win_lab = lax.dynamic_slice(labels, (offset,), (max_len,))
+    win_rs = lax.dynamic_slice(run_start, (offset,), (max_len,))
     valid = jnp.arange(max_len) < length
     xy = win_pts[:, :2]
     half = CHUNK_SIZE / 2.0
@@ -128,7 +203,7 @@ def _sample_one(points, labels, colors, normals, offset, length, key,
         return in_ctx
 
     def body(carry):
-        tries, ok, best_lo, best_hi = carry
+        tries, ok, any_cand, box_lo, box_hi = carry
         k = jax.random.fold_in(key, tries)
         ci = jax.random.randint(k, (), 0, length)
         center = xy[ci]
@@ -136,26 +211,34 @@ def _sample_one(points, labels, colors, normals, offset, length, key,
         cand = candidates(lo, hi)
         n_cand = jnp.sum(cand)
         labeled = jnp.sum(cand & (win_lab > 0)) / jnp.maximum(n_cand, 1)
-        occ = _occupancy_fraction(win_pts, cand)
+        if occupancy == "fast":
+            occ = _occupancy_fraction_fast(win_rs, cand, max_len)
+        else:
+            occ = _occupancy_fraction_exact(win_pts, cand)
         good = ((n_cand > 0) & (labeled >= MIN_LABELED_FRACTION)
                 & (occ >= MIN_VOXEL_OCCUPANCY))
-        take = good & ~ok
-        best_lo = jnp.where(take, lo, best_lo)
-        best_hi = jnp.where(take, hi, best_hi)
-        return tries + 1, ok | good, best_lo, best_hi
+        # The box always tracks the LATEST candidate-bearing try, so on
+        # retry exhaustion the sampler keeps the last tried chunk exactly
+        # like the host port / ref :141-145 ('if fails, get the last').
+        take = (n_cand > 0) & ~ok
+        box_lo = jnp.where(take, lo, box_lo)
+        box_hi = jnp.where(take, hi, box_hi)
+        return tries + 1, ok | good, any_cand | (n_cand > 0), box_lo, box_hi
 
     def cond(carry):
         tries, ok, *_ = carry
         return (~ok) & (tries < MAX_TRIES)
 
-    init = (jnp.int32(0), jnp.bool_(False),
+    init = (jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
             jnp.zeros((2,), jnp.float32), jnp.zeros((2,), jnp.float32))
-    _, ok, lo, hi = lax.while_loop(cond, body, init)
+    _, ok, any_cand, lo, hi = lax.while_loop(cond, body, init)
 
-    # Degenerate fallback (ref :143-145): the whole scene, inner = all.
-    cand = jnp.where(ok, candidates(lo, hi), valid)
+    # Degenerate fallback (ref :84-96 `sel is None`): only when NO try ever
+    # produced candidates does the sampler fall back to the whole scene
+    # (unreachable in practice — the center point is its own candidate).
+    cand = jnp.where(any_cand, candidates(lo, hi), valid)
     inner = jnp.where(
-        ok, ((xy >= lo) & (xy <= hi)).all(axis=1) & cand, valid)
+        any_cand, ((xy >= lo) & (xy <= hi)).all(axis=1) & cand, valid)
 
     # npoints WITH replacement, uniform over candidates (ref :147
     # rng.choice(len(sel), npoints, replace=True)) — inverse-CDF over the
@@ -180,7 +263,7 @@ def _sample_one(points, labels, colors, normals, offset, length, key,
         parts.append(win_nrm[take])
     if parts:
         out["features"] = jnp.concatenate(parts, axis=-1)
-    if with_box:  # test/debug metadata: the accepted inner box (or ok=False)
+    if with_box:  # test/debug metadata: the kept box (ok=False: last tried)
         out["chunk_lo"] = lo
         out["chunk_hi"] = hi
         out["chunk_ok"] = ok
@@ -188,7 +271,8 @@ def _sample_one(points, labels, colors, normals, offset, length, key,
 
 
 def sample_chunk_batch(scenes: ResidentScenes, scene_ids, rng, npoints: int,
-                       class_weights=None, with_box: bool = False):
+                       class_weights=None, occupancy: str = "fast",
+                       with_box: bool = False):
     """(B,) scene ids + rng -> a standard training batch, entirely on
     device (jit-safe; vmapped over the batch)."""
     import jax
@@ -197,17 +281,17 @@ def sample_chunk_batch(scenes: ResidentScenes, scene_ids, rng, npoints: int,
         else SCANNET_CLASS_WEIGHTS
     keys = jax.random.split(rng, scene_ids.shape[0])
     fn = partial(_sample_one, npoints=npoints, max_len=scenes.max_len,
-                 class_weights=cw, with_box=with_box)
+                 class_weights=cw, occupancy=occupancy, with_box=with_box)
     return jax.vmap(
         lambda sid, k: fn(scenes.points, scenes.labels, scenes.colors,
-                          scenes.normals, scenes.d_offsets[sid],
-                          scenes.d_lengths[sid], k)
+                          scenes.normals, scenes.run_start,
+                          scenes.d_offsets[sid], scenes.d_lengths[sid], k)
     )(scene_ids, keys)
 
 
 def make_sampling_train_step(scenes: ResidentScenes, npoints: int,
                              mesh=None, donate=True, class_weights=None,
-                             **step_kwargs):
+                             occupancy: str = "fast", **step_kwargs):
     """jit ``(state, scene_ids, rng) -> (state, metrics)``: cut a fresh
     random chunk per sample ON DEVICE and train on it — the no-precompute
     training path.  scene_ids shard over ``data`` under a mesh."""
@@ -220,7 +304,7 @@ def make_sampling_train_step(scenes: ResidentScenes, npoints: int,
     def step(state, scene_ids, rng):
         batch = sample_chunk_batch(
             scenes, scene_ids, jax.random.fold_in(rng, state.step),
-            npoints, class_weights)
+            npoints, class_weights, occupancy=occupancy)
         return seg_train_step(state, batch, rng, **step_kwargs)
 
     donate_argnums = (0,) if donate else ()
