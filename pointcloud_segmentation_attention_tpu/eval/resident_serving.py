@@ -1,0 +1,593 @@
+"""Resident-scene serving: full-scene prediction without the per-chunk link.
+
+The host serving path (``eval/full_scene.py``) chunks each scene on host and
+ships every chunk batch up the link — on a high-latency tunnel that caps
+serving at ~6 % of the device inference rate (docs/performance.md).  Here a
+scene crosses the link ONCE, as a single packed u8 buffer (q16: 12 B/point),
+and everything else happens on device:
+
+- the full-coverage grid chunker (the TPU twin of
+  ``chunks.full_scene_chunks`` / ref ``complete_scene_loader.py:4-117``)
+  runs as one jitted program of sorts/cumsums — no host round trip,
+- chunk batches gather their points/features from the resident buffer,
+- predictions argmax on device and scatter straight into a per-VERTEX label
+  buffer (the device twin of ``chunks.map_back`` /
+  ref ``generate_predictions.py:19-37``),
+- one (num_vertices,) u8 fetch returns the stitched scene.
+
+Chunk composition is DETERMINISTIC (a keyed integer hash replaces the host
+chunker's ``rng.permutation``, modulo-fill replaces its random tail fill) and
+is reproduced bit-for-bit by the numpy twin ``deterministic_scene_chunks`` —
+so the device path's stitched output can be asserted identical to the host
+path fed the same chunks (``tests/test_resident_serving.py``).
+
+Grid semantics match ``full_scene_chunks``: 1.5 m cells over the scene's xy
+bbox, 0.2 m context margin (a point belongs to every cell whose margin-
+enlarged box contains it: with 2*margin < cell that is at most 2x2 cells),
+cells without inner (home) points dropped, ceil(members/npoints) chunks per
+cell, every vertex mask-True exactly once (its home entry).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pointcloud_segmentation_attention_tpu.data.scannet.chunks import (
+    CHUNK_SIZE, CONTEXT_MARGIN, ChunkSet,
+)
+
+_HASH_MULT = np.uint32(2654435761)      # Knuth multiplicative
+
+
+def _hash32(pid, seed: int):
+    """Deterministic uint32 hash of a point id — the shared 'shuffle' key of
+    the host twin and the device chunker (identical integer semantics in
+    numpy and jnp)."""
+    h = (pid.astype(np.uint32) + np.uint32(seed * 7919 + 1)) * _HASH_MULT
+    return h ^ (h >> np.uint32(16))
+
+
+def _grid_dims(xy: np.ndarray) -> Tuple[np.ndarray, int, int]:
+    mn = xy.min(axis=0)
+    ext = xy.max(axis=0) - mn
+    ncx = max(1, int(np.ceil(float(ext[0]) / CHUNK_SIZE)))
+    ncy = max(1, int(np.ceil(float(ext[1]) / CHUNK_SIZE)))
+    return mn, ncx, ncy
+
+
+def _memberships_np(xy: np.ndarray, mn, ncx: int, ncy: int):
+    """(N, 4) membership enumeration: the 2x2 cells whose margin-enlarged box
+    can contain the point (2*margin < cell).  Returns (cell_x, cell_y,
+    member, home_id) with cell ids int64."""
+    rel = xy - mn
+    lo = np.floor((rel - CONTEXT_MARGIN) / CHUNK_SIZE).astype(np.int64)
+    home = np.minimum(np.floor(rel / CHUNK_SIZE).astype(np.int64),
+                      [ncx - 1, ncy - 1])
+    home = np.maximum(home, 0)
+    home_id = home[:, 0] * ncy + home[:, 1]
+    cxs, cys, members = [], [], []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            cx = lo[:, 0] + dx
+            cy = lo[:, 1] + dy
+            box_lo_x = cx * CHUNK_SIZE - CONTEXT_MARGIN
+            box_lo_y = cy * CHUNK_SIZE - CONTEXT_MARGIN
+            member = (
+                (cx >= 0) & (cx < ncx) & (cy >= 0) & (cy < ncy)
+                & (rel[:, 0] >= box_lo_x)
+                & (rel[:, 0] < box_lo_x + CHUNK_SIZE + 2 * CONTEXT_MARGIN)
+                & (rel[:, 1] >= box_lo_y)
+                & (rel[:, 1] < box_lo_y + CHUNK_SIZE + 2 * CONTEXT_MARGIN)
+            )
+            cxs.append(cx)
+            cys.append(cy)
+            members.append(member)
+    cell_id = np.stack(cxs, 1) * ncy + np.stack(cys, 1)       # (N, 4)
+    return cell_id, np.stack(members, 1), home_id
+
+
+def chunk_count(points: np.ndarray, npoints: int) -> int:
+    """Exact number of full-coverage chunks for a scene — cheap host-side
+    metadata (bincounts, no permutation) so the serving loop knows how many
+    predict steps to launch WITHOUT a device->host sync on the on-device
+    chunker's output."""
+    mn, ncx, ncy = _grid_dims(points[:, :2].astype(np.float32))
+    cell_id, member, home_id = _memberships_np(
+        points[:, :2].astype(np.float32), mn, ncx, ncy)
+    n_cells = ncx * ncy
+    member_counts = np.bincount(cell_id[member], minlength=n_cells)
+    home_counts = np.bincount(home_id, minlength=n_cells)
+    kept = home_counts > 0
+    return int(np.sum(-(-member_counts[kept] // npoints)))
+
+
+def deterministic_scene_chunks(
+    points: np.ndarray,
+    features: Sequence[np.ndarray],
+    npoints: int,
+    seed: int = 0,
+) -> ChunkSet:
+    """Numpy twin of the DEVICE chunker: same contract as
+    ``chunks.full_scene_chunks`` (every vertex mask-True exactly once) with
+    deterministic hash order and modulo tail fill — chunk composition is
+    bit-identical to ``make_scene_chunker``'s, so host-path predictions on
+    these chunks equal the resident device path's."""
+    xy = points[:, :2].astype(np.float32)
+    mn, ncx, ncy = _grid_dims(xy)
+    cell_id, member, home_id = _memberships_np(xy, mn, ncx, ncy)
+    pid = np.broadcast_to(np.arange(len(points), dtype=np.int64)[:, None],
+                          cell_id.shape)
+    cells_f = cell_id[member]
+    pids_f = pid[member]
+    h = _hash32(pids_f, seed).astype(np.int64)
+    order = np.lexsort((pids_f, h, cells_f))
+    cells_s, pids_s = cells_f[order], pids_f[order]
+    is_home_s = home_id[pids_s] == cells_s
+
+    uniq, starts = np.unique(cells_s, return_index=True)
+    bounds = np.append(starts, len(cells_s))
+    out_points, out_feats, out_mask, out_idx = [], [], [], []
+    for ui in range(len(uniq)):
+        s, e = bounds[ui], bounds[ui + 1]
+        members_c = pids_s[s:e]
+        inner_c = is_home_s[s:e]
+        if not inner_c.any():
+            continue  # margin-only cell: its points are inner elsewhere
+        L = e - s
+        n_chunks = -(-L // npoints)
+        t = np.arange(n_chunks * npoints) % L     # modulo tail fill
+        orig = members_c[t]
+        mask_seq = (np.arange(n_chunks * npoints) < L) & inner_c[t]
+        out_points.append(points[orig].reshape(n_chunks, npoints, 3))
+        out_feats.append([
+            np.asarray(f)[orig].reshape((n_chunks, npoints)
+                                        + np.asarray(f).shape[1:])
+            for f in features
+        ])
+        out_mask.append(mask_seq.reshape(n_chunks, npoints))
+        out_idx.append(orig.reshape(n_chunks, npoints))
+    return ChunkSet(
+        np.concatenate(out_points).astype(np.float32),
+        [np.concatenate([c[i] for c in out_feats])
+         for i in range(len(features))],
+        np.concatenate(out_mask),
+        np.concatenate(out_idx).astype(np.int64),
+        None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packed scene buffers (one H2D transfer per scene)
+# ---------------------------------------------------------------------------
+
+class SceneLayout:
+    """Static description of the packed resident scene buffer.
+
+    q16: header (8 f32: mn[3], mx[3], pad) + xyz u16 + colors u8 +
+    normals i8 — 12 B/point.  f32: xyz f32 + colors u8 + normals f32
+    (27 B/point) — the bit-exact layout the parity tests use.
+    """
+
+    def __init__(self, layout: str, n_pad: int, use_colors: bool = True,
+                 use_normals: bool = True):
+        if layout not in ("q16", "f32"):
+            raise ValueError(f"unknown scene layout {layout!r}")
+        self.layout = layout
+        self.n_pad = n_pad
+        self.use_colors = use_colors
+        self.use_normals = use_normals
+
+    @property
+    def header_nbytes(self) -> int:
+        return 32 if self.layout == "q16" else 0
+
+    @property
+    def nbytes(self) -> int:
+        n = self.n_pad
+        size = self.header_nbytes + (6 if self.layout == "q16" else 12) * n
+        if self.use_colors:
+            size += 3 * n
+        if self.use_normals:
+            size += (3 if self.layout == "q16" else 12) * n
+        return size
+
+    def pack(self, points: np.ndarray, colors: Optional[np.ndarray],
+             normals: Optional[np.ndarray]) -> np.ndarray:
+        """Scene arrays -> one u8 buffer (points padded to n_pad with the
+        first point so padding never lands outside the scene bbox)."""
+        n, n_pad = len(points), self.n_pad
+        if n > n_pad:
+            raise ValueError(f"scene has {n} points > n_pad {n_pad}")
+
+        def padded(a, dt):
+            a = np.asarray(a)
+            out = np.empty((n_pad,) + a.shape[1:], dt)
+            out[:n] = a
+            out[n:] = a[:1] if n else 0
+            return out
+
+        buf = np.empty(self.nbytes, np.uint8)
+        off = 0
+
+        def put(a):
+            nonlocal off
+            raw = np.ascontiguousarray(a).view(np.uint8).reshape(-1)
+            buf[off:off + raw.size] = raw
+            off += raw.size
+
+        pts = padded(points, np.float32)
+        if self.layout == "q16":
+            mn, mx = pts.min(0), pts.max(0)
+            header = np.zeros(8, np.float32)
+            header[:3], header[3:6] = mn, mx
+            put(header)
+            scale = np.where(mx > mn, mx - mn, 1.0)
+            put(np.clip(np.rint((pts - mn) / scale * 65535.0),
+                        0, 65535).astype(np.uint16))
+        else:
+            put(pts)
+        if self.use_colors:
+            put(padded(colors, np.uint8))
+        if self.use_normals:
+            if self.layout == "q16":
+                put(np.clip(np.rint(padded(normals, np.float32) * 127.0),
+                            -127, 127).astype(np.int8))
+            else:
+                put(padded(normals, np.float32))
+        assert off == self.nbytes
+        return buf
+
+    def decode_host(self, buf: np.ndarray) -> Dict[str, np.ndarray]:
+        """Host-side decode — the EXACT coordinates the device will see
+        (``chunk_count`` must count on these, not the raw f32 scene, or the
+        host step count could disagree with the device chunker)."""
+        n = self.n_pad
+        off = self.header_nbytes
+        if self.layout == "q16":
+            header = buf[:32].view(np.float32)
+            mn, mx = header[:3], header[3:6]
+            q = buf[off:off + 6 * n].view(np.uint16).reshape(n, 3)
+            scale = np.where(mx > mn, mx - mn, 1.0)
+            pts = (mn + q.astype(np.float32) * (scale / 65535.0)).astype(
+                np.float32)
+            off += 6 * n
+        else:
+            pts = buf[off:off + 12 * n].view(np.float32).reshape(n, 3).copy()
+            off += 12 * n
+        out = {"points": pts}
+        if self.use_colors:
+            out["colors"] = buf[off:off + 3 * n].reshape(n, 3).copy()
+            off += 3 * n
+        if self.use_normals:
+            if self.layout == "q16":
+                out["normals"] = (buf[off:off + 3 * n].view(np.int8)
+                                  .reshape(n, 3).astype(np.float32) / 127.0)
+            else:
+                out["normals"] = buf[off:off + 12 * n].view(
+                    np.float32).reshape(n, 3).copy()
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Device chunker
+# ---------------------------------------------------------------------------
+
+def _decode_scene_jnp(buf, layout: SceneLayout):
+    """On-device twin of ``SceneLayout.decode_host`` (bitcast + dequant)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = layout.n_pad
+    off = layout.header_nbytes
+
+    def take(nbytes):
+        nonlocal off
+        v = jax.lax.slice_in_dim(buf, off, off + nbytes, axis=0)
+        off += nbytes
+        return v
+
+    out = {}
+    if layout.layout == "q16":
+        header = jax.lax.bitcast_convert_type(
+            buf[:32].reshape(8, 4), jnp.float32)
+        mn, mx = header[:3], header[3:6]
+        q = jax.lax.bitcast_convert_type(
+            take(6 * n).reshape(n, 3, 2), jnp.uint16).astype(jnp.float32)
+        scale = jnp.where(mx > mn, mx - mn, 1.0)
+        out["points"] = mn + q * (scale / 65535.0)
+    else:
+        out["points"] = jax.lax.bitcast_convert_type(
+            take(12 * n).reshape(n, 3, 4), jnp.float32)
+    if layout.use_colors:
+        out["colors"] = take(3 * n).reshape(n, 3)
+    if layout.use_normals:
+        if layout.layout == "q16":
+            out["normals"] = jax.lax.bitcast_convert_type(
+                take(3 * n), jnp.int8).reshape(n, 3).astype(
+                    jnp.float32) / 127.0
+        else:
+            out["normals"] = jax.lax.bitcast_convert_type(
+                take(12 * n).reshape(n, 3, 4), jnp.float32)
+    return out
+
+
+def make_scene_chunker(layout: SceneLayout, x_cap: int, npoints: int,
+                       seed: int = 0):
+    """jit ``(scene_buf u8, n) -> (idx (x_cap, npoints) i32,
+    mask (x_cap, npoints) bool, n_chunks i32)`` — the full-coverage grid
+    chunker as ONE device program (two sorts + cumsums; no host round trip).
+
+    Bit-identical chunk composition to ``deterministic_scene_chunks``:
+    same memberships, same hash order, same modulo tail fill.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n_pad = layout.n_pad
+    e_total = 4 * n_pad
+    i32max = jnp.iinfo(jnp.int32).max
+    # All device indices/keys are int32 (x64 is disabled by default in JAX;
+    # int64 literals would silently truncate): chunk slots x_cap * npoints
+    # and 4 * n_pad entry ids both stay far below 2^31, and the sort is
+    # multi-key lexicographic instead of a packed 64-bit key.
+
+    def chunker(buf, n):
+        xyz = _decode_scene_jnp(buf, layout)["points"]
+        valid = jnp.arange(n_pad) < n
+        xy = xyz[:, :2]
+        big = jnp.float32(3e38)
+        mn = jnp.min(jnp.where(valid[:, None], xy, big), axis=0)
+        mx = jnp.max(jnp.where(valid[:, None], xy, -big), axis=0)
+        ext = mx - mn
+        ncx = jnp.maximum(jnp.ceil(ext[0] / CHUNK_SIZE), 1).astype(jnp.int32)
+        ncy = jnp.maximum(jnp.ceil(ext[1] / CHUNK_SIZE), 1).astype(jnp.int32)
+
+        rel = xy - mn
+        lo = jnp.floor((rel - CONTEXT_MARGIN) / CHUNK_SIZE).astype(jnp.int32)
+        home = jnp.clip(jnp.floor(rel / CHUNK_SIZE).astype(jnp.int32),
+                        0, jnp.stack([ncx - 1, ncy - 1]))
+        home_id = home[:, 0] * ncy + home[:, 1]
+
+        cells, members = [], []
+        w = CHUNK_SIZE + 2 * CONTEXT_MARGIN
+        for dx in (0, 1):
+            for dy in (0, 1):
+                cx = lo[:, 0] + dx
+                cy = lo[:, 1] + dy
+                blx = cx.astype(jnp.float32) * CHUNK_SIZE - CONTEXT_MARGIN
+                bly = cy.astype(jnp.float32) * CHUNK_SIZE - CONTEXT_MARGIN
+                member = (
+                    valid & (cx >= 0) & (cx < ncx) & (cy >= 0) & (cy < ncy)
+                    & (rel[:, 0] >= blx) & (rel[:, 0] < blx + w)
+                    & (rel[:, 1] >= bly) & (rel[:, 1] < bly + w)
+                )
+                cells.append(cx * ncy + cy)
+                members.append(member)
+        cell_id = jnp.stack(cells, 1)                       # (N, 4) i32
+        member = jnp.stack(members, 1)
+        pid = jnp.broadcast_to(jnp.arange(n_pad, dtype=jnp.int32)[:, None],
+                               (n_pad, 4))
+        h = _hash32_jnp(pid, seed)
+
+        # Sort #1: lexicographic (cell, hash, pid); non-members to the end.
+        cell_key = jnp.where(member, cell_id, i32max).reshape(-1)
+        cell_s, _, pid_s, home_flag_s = lax.sort(
+            (cell_key, h.reshape(-1), pid.reshape(-1),
+             (cell_id == home_id[:, None]).reshape(-1).astype(jnp.int32)),
+            num_keys=3)
+        memb_valid = cell_s < i32max
+        is_home_s = (home_flag_s == 1) & memb_valid
+
+        # Run boundaries over the sorted cell ids (the sentinel run included,
+        # so the last real run's end is well-defined).
+        iota = jnp.arange(e_total, dtype=jnp.int32)
+        new_run = jnp.concatenate(
+            [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]])
+        run_start = lax.cummax(jnp.where(new_run, iota, 0))
+        nxt = jnp.concatenate(
+            [jnp.where(new_run, iota, e_total)[1:],
+             jnp.full((1,), e_total, jnp.int32)])
+        next_start = lax.cummin(nxt[::-1])[::-1]
+        run_len = next_start - run_start
+        rank = iota - run_start
+
+        # Kept cells: >= 1 home entry in the run.
+        ch = jnp.cumsum(is_home_s.astype(jnp.int32))
+        ch0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), ch])
+        homes_in_run = ch0[next_start] - ch0[run_start]
+        keep = memb_valid & (homes_in_run > 0)
+
+        # Global chunk numbering in cell order: base = chunks before my run.
+        chunks_of_run = -(-run_len // npoints)              # ceil
+        contrib = jnp.where(new_run & keep, chunks_of_run, 0)
+        cum = jnp.cumsum(contrib)
+        cum0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum])
+        base = cum0[run_start]
+        n_chunks = cum[-1]
+
+        # Destination slot of every kept entry — strictly increasing along
+        # the sorted order, so slot->entry inverts with ONE searchsorted
+        # instead of a serializing scatter.
+        dest = jnp.where(keep, base * npoints + rank, i32max)
+        dest_s, pid2, rs2, len2, base2, home2 = lax.sort(
+            (dest, pid_s, run_start, run_len, base,
+             is_home_s.astype(jnp.int32)), num_keys=1)
+
+        t = jnp.arange(x_cap * npoints, dtype=jnp.int32)
+        j = jnp.clip(
+            jnp.searchsorted(dest_s, t, side="right") - 1, 0, e_total - 1)
+        real = dest_s[j] == t
+        in_chunks = t < n_chunks * npoints
+        # Tail slots: the last real entry at or before t belongs to this
+        # chunk's cell; modulo fill from that cell's sorted members.
+        fill_rel = jnp.where(in_chunks,
+                             (t - base2[j] * npoints) % jnp.maximum(len2[j], 1),
+                             0)
+        fill_pid = pid_s[jnp.clip(rs2[j] + fill_rel, 0, e_total - 1)]
+        out_pid = jnp.where(real, pid2[j], fill_pid)
+        out_pid = jnp.where(in_chunks, out_pid, 0).astype(jnp.int32)
+        out_mask = real & (home2 == 1)[j] & in_chunks
+        return (out_pid.reshape(x_cap, npoints),
+                out_mask.reshape(x_cap, npoints),
+                n_chunks.astype(jnp.int32))
+
+    return jax.jit(chunker)
+
+
+def _hash32_jnp(pid, seed: int):
+    import jax.numpy as jnp
+
+    h = (pid.astype(jnp.uint32) + jnp.uint32(seed * 7919 + 1)
+         ) * jnp.uint32(2654435761)
+    return h ^ (h >> jnp.uint32(16))
+
+
+def make_resident_predict_step(state, layout: SceneLayout, batch_size: int,
+                               npoints: int):
+    """jit ``(scene_buf, idx (B, npoints), mask, acc (n_pad+1,)) -> acc``:
+    gather chunk batch from the resident buffer, predict, argmax, and
+    scatter labels straight into the per-vertex accumulator (the device
+    ``map_back``; masked slots land in the sentinel row).  ``acc`` is
+    donated so the scene's label buffer updates in place across batches."""
+    import jax
+    import jax.numpy as jnp
+
+    n_pad = layout.n_pad
+
+    def step(st, buf, idx, mask, acc):
+        scene = _decode_scene_jnp(buf, layout)
+        flat = idx.reshape(-1)
+        pts = scene["points"][flat].reshape(batch_size, npoints, 3)
+        parts = []
+        if layout.use_colors:
+            parts.append(scene["colors"][flat].reshape(
+                batch_size, npoints, 3).astype(jnp.float32) / 255.0)
+        if layout.use_normals:
+            parts.append(scene["normals"][flat].reshape(
+                batch_size, npoints, 3))
+        feats = jnp.concatenate(parts, axis=-1) if parts else None
+        variables = {"params": st.params, "batch_stats": st.batch_stats}
+        logits = st.apply_fn(variables, pts, feats, train=False)
+        lab = jnp.argmax(logits, axis=-1).astype(acc.dtype)
+        tgt = jnp.where(mask, idx, n_pad).reshape(-1)
+        return acc.at[tgt].set(lab.reshape(-1), mode="drop")
+
+    return jax.jit(step, donate_argnums=(4,))
+
+
+# ---------------------------------------------------------------------------
+# The server
+# ---------------------------------------------------------------------------
+
+def _bucket(x: int, mult: int) -> int:
+    return max(mult, -(-x // mult) * mult)
+
+
+class ResidentSceneServer:
+    """Full-scene prediction with one upload and one fetch per scene.
+
+    Compiled programs are cached per (n_pad, x_cap) bucket; scene sizes are
+    bucketed (powers of two over ``pad_multiple``) to bound recompiles.
+    ``predict_scenes`` keeps ``pipeline_depth`` scenes in flight so uploads,
+    chunking, and predict batches overlap across scenes on an async
+    dispatch queue (the link latency then pipelines instead of serializing).
+    """
+
+    def __init__(self, state, npoints: int, batch_size: int = 16,
+                 layout: str = "q16", seed: int = 0, use_colors: bool = True,
+                 use_normals: bool = True, pad_multiple: int = 16384,
+                 pipeline_depth: int = 2):
+        self.state = state
+        self.npoints = npoints
+        self.batch_size = batch_size
+        self.layout_kind = layout
+        self.seed = seed
+        self.use_colors = use_colors
+        self.use_normals = use_normals
+        self.pad_multiple = pad_multiple
+        self.pipeline_depth = pipeline_depth
+        self._chunkers = {}
+        self._steps = {}
+
+    def _n_pad(self, n: int) -> int:
+        b = self.pad_multiple
+        while b < n:
+            b *= 2
+        return b
+
+    def _layout(self, n_pad: int) -> SceneLayout:
+        return SceneLayout(self.layout_kind, n_pad, self.use_colors,
+                           self.use_normals)
+
+    def _get_programs(self, n_pad: int, x_cap: int):
+        ck = (n_pad, x_cap)
+        if ck not in self._chunkers:
+            self._chunkers[ck] = make_scene_chunker(
+                self._layout(n_pad), x_cap, self.npoints, self.seed)
+        if n_pad not in self._steps:
+            self._steps[n_pad] = make_resident_predict_step(
+                self.state, self._layout(n_pad), self.batch_size,
+                self.npoints)
+        return self._chunkers[ck], self._steps[n_pad]
+
+    def _launch(self, scene: Dict[str, np.ndarray]):
+        """Enqueue one scene's full device pipeline; returns (name, n,
+        device label buffer) without synchronizing."""
+        import jax
+        import jax.numpy as jnp
+
+        points = np.asarray(scene["points"], np.float32)
+        n = len(points)
+        n_pad = self._n_pad(n)
+        layout = self._layout(n_pad)
+        buf = layout.pack(
+            points,
+            scene.get("colors") if self.use_colors else None,
+            scene.get("normals") if self.use_normals else None)
+        # Count on the coords the device will see (q16 decode shifts points
+        # by up to half a quantum — enough to flip a margin membership).
+        x = chunk_count(layout.decode_host(buf)["points"][:n], self.npoints)
+        # q16 slack: host numpy and XLA may round the dequant mul-add
+        # differently (FMA), so the device chunk count can drift by a cell's
+        # worth of ceil — schedule one extra batch so no device chunk is
+        # ever left unpredicted.  (f32 membership arithmetic is exact: all
+        # products in it are representable, so no slack needed.)
+        x += self.batch_size if self.layout_kind == "q16" else 0
+        x_cap = _bucket(x, 4 * self.batch_size)
+        chunker, step = self._get_programs(n_pad, x_cap)
+
+        dbuf = jax.device_put(buf)                       # ONE upload
+        idx, mask, _ = chunker(dbuf, n)
+        acc = jnp.zeros((n_pad + 1,), jnp.uint8)
+        nb = -(-x // self.batch_size)
+        for b in range(nb):
+            s = b * self.batch_size
+            acc = step(self.state, dbuf, idx[s:s + self.batch_size],
+                       mask[s:s + self.batch_size], acc)
+        try:  # overlap D2H with the next scene's compute
+            acc.copy_to_host_async()
+        except AttributeError:
+            pass
+        return scene.get("scene_name"), n, acc
+
+    def predict_scene(self, scene: Dict[str, np.ndarray]) -> np.ndarray:
+        """points (N,3) [+ colors u8 / normals f32] -> per-vertex labels
+        (N,) int32."""
+        _, n, acc = self._launch(scene)
+        return np.asarray(acc)[:n].astype(np.int32)
+
+    def predict_scenes(self, scenes) -> Iterator[Tuple[str, np.ndarray]]:
+        """Pipelined multi-scene serving; yields (scene_name, labels)."""
+        from collections import deque
+
+        pending = deque()
+        for scene in scenes:
+            pending.append(self._launch(scene))
+            if len(pending) > self.pipeline_depth:
+                name, n, acc = pending.popleft()
+                yield name, np.asarray(acc)[:n].astype(np.int32)
+        while pending:
+            name, n, acc = pending.popleft()
+            yield name, np.asarray(acc)[:n].astype(np.int32)

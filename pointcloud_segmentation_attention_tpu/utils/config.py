@@ -25,6 +25,18 @@ class TrainConfig:
     use_colors: bool = True
     use_normals: bool = True
     use_subset: bool = False       # first third of train scenes (ablation)
+    # Input path (the trainer's data plane):
+    #   'npz'      — replay precomputed npz chunks (the reference's
+    #                pickle-replay equivalent, ref precompute_dataset.py),
+    #   'packed'   — packed-record store, one u8 buffer H2D per step
+    #                (data/scannet/packstore.py + data/wire.py),
+    #   'resident' — whole packed corpus resident in HBM, per-step H2D =
+    #                a (B,) index array (train/device_replay.py),
+    #   'sampler'  — ZERO-precompute: raw scenes resident in HBM, every
+    #                step cuts a fresh validity-checked chunk on device
+    #                (train/device_sampler.py; no precompute dir at all),
+    #   'auto'     — derive from the legacy wire_format/device_replay flags.
+    input: str = "auto"
     # 'compact' halves per-step H2D bytes (labels/mask uint8, colors uint8,
     # normals f16, expanded on device); 'packed'/'packed_q16' ship ONE u8
     # buffer per batch (q16 also quantizes points u16 / normals i8, 14 B/pt)
