@@ -68,6 +68,49 @@ def _make_wire_spec(config: TrainConfig):
     return spec
 
 
+def resolve_input_mode(config: TrainConfig) -> str:
+    """'auto' derives the input path from the legacy flags
+    (device_replay -> resident, packed wire_format -> packed, else npz);
+    explicit modes are validated against conflicting flags."""
+    mode = config.input
+    packed = _make_wire_spec(config) is not None
+    if mode == "auto":
+        return ("resident" if config.device_replay
+                else "packed" if packed else "npz")
+    if mode not in ("npz", "packed", "resident", "sampler"):
+        raise ValueError(
+            f"input must be auto|npz|packed|resident|sampler, got {mode!r}")
+    if mode in ("npz", "sampler") and packed:
+        raise ValueError(
+            f"input='{mode}' replays raw arrays — drop the packed "
+            f"wire_format={config.wire_format!r} (it only applies to the "
+            "packed/resident record paths)")
+    if mode == "sampler" and config.device_replay:
+        raise ValueError("input='sampler' and device_replay are exclusive")
+    return mode
+
+
+def _onfly_val_chunks(data_root: str, val_scenes, n_points: int, seed=0):
+    """Full-coverage val chunks cut on the fly from RAW scenes — the val
+    path of the zero-precompute sampler mode (no precompute dir exists)."""
+    from pointcloud_segmentation_attention_tpu.data.scannet.chunks import (
+        grid_chunks_for_eval,
+    )
+    from pointcloud_segmentation_attention_tpu.data.scannet.scenes import (
+        load_scene_mapped,
+    )
+
+    for name in val_scenes:
+        sc = load_scene_mapped(data_root, name)
+        out = grid_chunks_for_eval(
+            sc["points"], sc["labels"], sc["colors"], sc["normals"],
+            n_points, rng=np.random.RandomState(seed))
+        for i in range(len(out["points"])):
+            yield {k: out[k][i]
+                   for k in ("points", "labels", "colors", "normals",
+                             "weights")}
+
+
 def make_eval_state(config: TrainConfig):
     """Template TrainState (same param/opt tree as ``train()`` builds) for
     restoring a checkpoint outside the trainer, e.g. for full-scene
@@ -88,7 +131,9 @@ def make_eval_state(config: TrainConfig):
 
 
 def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
-    """Run training from precomputed chunks; returns summary dict."""
+    """Run training on the configured input path (config.input: precomputed
+    npz / packed store / device-resident replay / zero-precompute device
+    sampler); returns summary dict."""
     rng = jax.random.PRNGKey(config.seed)
     use_features = config.use_colors or config.use_normals
     model = select_model(config)
@@ -109,14 +154,56 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
 
     mesh = parallel.make_mesh(config.n_devices)
 
-    # Data: replay precomputed chunks (must exist; precompute CLI produces
-    # them).  The host->device transfer happens INSIDE the prefetch thread
-    # (device_put is thread-safe and async) so chunk loading AND the H2D copy
-    # both overlap the device step — critical when the accelerator is remote.
-    epochs_avail = _precomputed_epochs(config.precompute_dir, train_scenes)
+    # Data plane: one of four input modes (config.input; see utils/config.py)
+    # feeding the same step/metrics/checkpoint machinery.  For the
+    # host-shipping modes the H2D transfer happens INSIDE the prefetch
+    # thread (device_put is thread-safe and async) so chunk loading AND the
+    # copy both overlap the device step — critical on a remote accelerator.
+    mode = resolve_input_mode(config)
     wire_spec = _make_wire_spec(config)
+    if mode in ("packed", "resident") and wire_spec is None:
+        # Packed record paths default to the best measured wire layout.
+        from pointcloud_segmentation_attention_tpu.data.wire import WireSpec
 
-    if wire_spec is not None:
+        wire_spec = WireSpec(n=config.n_points, layout="q16",
+                             use_colors=config.use_colors,
+                             use_normals=config.use_normals)
+    sampler_scenes = None
+    epochs_avail = (None if mode == "sampler"
+                    else _precomputed_epochs(config.precompute_dir,
+                                             train_scenes))
+
+    if mode == "sampler":
+        # ZERO-precompute: raw scenes resident in HBM; every step cuts a
+        # fresh validity-checked chunk on device (train/device_sampler.py).
+        # Per-step H2D: a (B,) scene-id array.
+        import jax.numpy as jnp
+
+        from pointcloud_segmentation_attention_tpu.data.scannet.scenes import (
+            load_scene_mapped,
+        )
+        from pointcloud_segmentation_attention_tpu.train import (
+            device_sampler as ds,
+        )
+
+        replay = None
+        sampler_scenes = ds.ResidentScenes(
+            [load_scene_mapped(config.data_root, s) for s in train_scenes],
+            mesh=mesh, use_colors=config.use_colors,
+            use_normals=config.use_normals)
+
+        def _device_batches():
+            rng_np = np.random.RandomState(config.seed)
+            n_full = n_train // config.batch_size * config.batch_size
+            while True:
+                order = rng_np.permutation(n_train)
+                for i in range(0, max(n_full, config.batch_size),
+                               config.batch_size):
+                    ids = np.resize(order[i:i + config.batch_size],
+                                    config.batch_size).astype(np.int32)
+                    yield {"scene_ids": parallel.shard_batch(
+                        jnp.asarray(ids), mesh)}
+    elif wire_spec is not None:
         # Packed wire: build (idempotent) and replay the memmap record store —
         # the host path per batch is one fancy-index memcpy, and the batch is
         # already the single H2D buffer (data/scannet/packstore.py).
@@ -135,7 +222,7 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
         )
         reader = packstore.PackReader(pack_dir)
 
-        if config.device_replay:
+        if mode == "resident":
             # Whole corpus resident in HBM; per-step H2D = a (B,) index
             # array (train/device_replay.py).
             from pointcloud_segmentation_attention_tpu.train import (
@@ -194,7 +281,7 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
     train_iter = pipeline.prefetch(_device_batches(), depth=4)
 
     first = next(train_iter)
-    if wire_spec is not None:
+    if wire_spec is not None or mode == "sampler":
         import jax.numpy as jnp
 
         k = 3 * int(config.use_colors) + 3 * int(config.use_normals)
@@ -224,7 +311,20 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
         if ckpt is not None:
             state = restore_checkpoint(ckpt, state)
 
-    if replay is not None:
+    if mode == "sampler":
+        from pointcloud_segmentation_attention_tpu.train import (
+            device_sampler as ds,
+        )
+
+        _samp_step = ds.make_sampling_train_step(
+            sampler_scenes, config.n_points, mesh=mesh, bn_schedule=bn,
+            lr_schedule=lr, num_classes=config.num_classes,
+            remat=config.remat,
+        )
+
+        def train_step(s, b, r):
+            return _samp_step(s, b["scene_ids"], r)
+    elif replay is not None:
         from pointcloud_segmentation_attention_tpu.train import (
             device_replay as dr,
         )
@@ -285,8 +385,9 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
             epoch_s = max(time.perf_counter() - epoch_t0, 1e-9)
             steps_this_epoch = steps_per_epoch if step_idx + 1 >= steps_per_epoch \
                 else (step_idx + 1)
+            summary["final_train_loss"] = float(loss_acc) / steps_this_epoch
             logger.log(step_idx + 1, {
-                "train_loss": float(loss_acc) / steps_this_epoch,
+                "train_loss": summary["final_train_loss"],
                 "train_accuracy": float(acc_acc) / steps_this_epoch,
                 "train_miou": miou,
                 "learning_rate": float(m["learning_rate"]),
@@ -300,7 +401,11 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
             if config.save_every_epochs and epoch % config.save_every_epochs == 0:
                 save_checkpoint(config.ckpt_dir, state, step_idx + 1)
             if epoch % config.n_epochs_to_val == 0:
-                val = evaluate(config, state, eval_step, mesh, val_scenes)
+                val_iter = (_onfly_val_chunks(
+                    config.data_root, val_scenes, config.n_points)
+                    if mode == "sampler" else None)
+                val = evaluate(config, state, eval_step, mesh, val_scenes,
+                               chunk_iter=val_iter)
                 logger.log(step_idx + 1, {f"val_{k}": v for k, v in val.items()})
                 if best.maybe_save(state, step_idx + 1, val["miou"]):
                     summary["best_val_miou"] = val["miou"]
@@ -310,11 +415,15 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
     return summary
 
 
-def evaluate(config: TrainConfig, state, eval_step, mesh, val_scenes) -> dict:
-    """Full val pass over precomputed val chunks (ref eval_model :221-285)."""
+def evaluate(config: TrainConfig, state, eval_step, mesh, val_scenes,
+             chunk_iter=None) -> dict:
+    """Full val pass over precomputed val chunks (ref eval_model :221-285);
+    ``chunk_iter`` overrides the chunk source (the sampler mode cuts val
+    chunks on the fly — no precompute dir exists)."""
     miou = StreamingMeanIoU(config.num_classes)
     it = pipeline.batched(
-        precompute.replay_val_chunks(config.precompute_dir, val_scenes),
+        chunk_iter if chunk_iter is not None
+        else precompute.replay_val_chunks(config.precompute_dir, val_scenes),
         config.batch_size, config.use_colors, config.use_normals,
         pad_final=True, wire=config.wire_format,
     )

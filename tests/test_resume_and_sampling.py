@@ -68,6 +68,55 @@ def test_trainer_resume_continues_step(tmp_path):
     assert s2["final_step"] > 1
 
 
+def test_sampler_input_mode_trains_with_val(tmp_path):
+    """input='sampler' is a first-class trainer path: zero-precompute
+    training with validation, best-checkpoint retention, and streaming
+    metrics — and no precompute directory is ever created (VERDICT r3 #4)."""
+    data_root = str(tmp_path / "scannet")
+    sc.write_synthetic_dataset(data_root, n_train=2, n_val=1, n_test=0,
+                               n_points=4000)
+    from pointcloud_segmentation_attention_tpu.train import trainer
+
+    cfg = TrainConfig(
+        data_root=data_root, model="sem_seg_features", input="sampler",
+        log_dir=str(tmp_path / "logs"), batch_size=2, n_points=128,
+        epochs=2, n_epochs_to_val=1, n_devices=2, save_every_epochs=0,
+        model_overrides=_TINY_HIERARCHY,
+    )
+    s = trainer.train(cfg, max_steps=2)
+    assert s["final_step"] == 2
+    assert np.isfinite(s["final_train_loss"])
+    assert s["best_val_miou"] is not None        # val ran, best ckpt kept
+    assert any(f.startswith("best") for f in os.listdir(cfg.ckpt_dir))
+    assert not os.path.exists(cfg.precompute_dir)  # zero precompute
+
+    # Resume picks up the best checkpoint and continues the step count.
+    cfg2 = TrainConfig(**{**cfg.__dict__, "resume": True})
+    s2 = trainer.train(cfg2, max_steps=1)
+    assert s2["final_step"] > 1
+
+
+def test_input_mode_resolution_and_conflicts():
+    from pointcloud_segmentation_attention_tpu.train.trainer import (
+        resolve_input_mode,
+    )
+
+    assert resolve_input_mode(TrainConfig()) == "npz"
+    assert resolve_input_mode(
+        TrainConfig(wire_format="packed_q16")) == "packed"
+    assert resolve_input_mode(
+        TrainConfig(wire_format="packed_q16", device_replay=True)
+    ) == "resident"
+    assert resolve_input_mode(TrainConfig(input="sampler")) == "sampler"
+    with pytest.raises(ValueError, match="drop the packed"):
+        resolve_input_mode(
+            TrainConfig(input="sampler", wire_format="packed_q16"))
+    with pytest.raises(ValueError, match="exclusive"):
+        resolve_input_mode(TrainConfig(input="sampler", device_replay=True))
+    with pytest.raises(ValueError, match="input must be"):
+        resolve_input_mode(TrainConfig(input="bogus"))
+
+
 def test_train_step_deterministic():
     """Same seed + same batch -> bit-identical loss (the reference's CUDA
     atomicAdd scatters were order-nondeterministic; XLA scatters are not)."""
