@@ -130,10 +130,13 @@ def make_eval_state(config: TrainConfig):
                         feats, train=False)
 
 
-def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
+def train(config: TrainConfig, max_steps: Optional[int] = None,
+          max_seconds: Optional[float] = None) -> dict:
     """Run training on the configured input path (config.input: precomputed
     npz / packed store / device-resident replay / zero-precompute device
-    sampler); returns summary dict."""
+    sampler); returns summary dict.  ``max_seconds`` stops at a wall-clock
+    budget (checked at step granularity; a final checkpoint is always
+    written so budgeted runs are restorable)."""
     rng = jax.random.PRNGKey(config.seed)
     use_features = config.use_colors or config.use_normals
     model = select_model(config)
@@ -368,8 +371,13 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
     # (ref attention_points/train.py:365-387), not the last step's values.
     conf_acc = None
     loss_acc = acc_acc = None
-    epoch_t0 = time.perf_counter()
+    train_t0 = epoch_t0 = time.perf_counter()
+    step_idx = -1
     for step_idx in range(total_steps):
+        if (max_seconds is not None
+                and time.perf_counter() - train_t0 > max_seconds):
+            step_idx -= 1  # this step did not run
+            break
         state, m = train_step(state, batch, dropout_rng)
         batch = next(train_iter)  # already on device (prefetch thread)
         conf_acc = m["confusion"] if conf_acc is None else conf_acc + m["confusion"]
@@ -410,6 +418,10 @@ def train(config: TrainConfig, max_steps: Optional[int] = None) -> dict:
                 if best.maybe_save(state, step_idx + 1, val["miou"]):
                     summary["best_val_miou"] = val["miou"]
     logger.close()
+    if max_seconds is not None and step_idx + 1 < total_steps:
+        # Budgeted run stopped mid-schedule: persist the final state so the
+        # matched-cost experiments (and resume) can pick it up.
+        save_checkpoint(config.ckpt_dir, state, step_idx + 1)
     summary["final_step"] = int(state.step)
     summary.setdefault("best_val_miou", best.best if best.best > -np.inf else None)
     return summary
