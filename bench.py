@@ -459,19 +459,25 @@ def main():
     p.add_argument("--quick", action="store_true",
                    help="device step only (short warmup)")
     args = p.parse_args()
+    print(json.dumps(run_bench(model=args.model, quick=args.quick)))
+
+
+def run_bench(model="sem_seg_features", quick=False):
+    """The full bench as a callable (one JSON-able dict) so a single
+    long-lived TPU process can run it [repeatedly] without re-paying the
+    exclusive-lease reclaim between processes."""
     b, n = 16, 8192
 
-    if args.quick:
+    if quick:
         device_pps = measure_device_step(b, n, warmup=30, iters=60,
-                                         model_name=args.model)
-        print(json.dumps({
-            "metric": f"{args.model}_train_points_per_sec",
+                                         model_name=model)
+        return {
+            "metric": f"{model}_train_points_per_sec",
             "value": round(device_pps, 1), "unit": "points/sec/chip",
             "vs_baseline": round(device_pps / BASELINE_POINTS_PER_SEC, 3),
-        }))
-        return
+        }
 
-    device_pps = measure_device_step(b, n, model_name=args.model)
+    device_pps = measure_device_step(b, n, model_name=model)
     extras = {}
 
     def guard(key, fn, *a, **kw):
@@ -503,7 +509,7 @@ def main():
     # silently deflating it (VERDICT r3 #2).
     extras["link"] = guard("link", measure_link)
 
-    if args.model == "sem_seg_features":
+    if model == "sem_seg_features":
         # Attention variant next to the flagship (VERDICT r2 #3).
         extra("attention_step", measure_device_step, b, n, warmup=60,
               iters=100, model_name="sem_seg_attention")
@@ -530,8 +536,8 @@ def main():
     e2e_candidates = [extras.get("end_to_end_packed_q16"),
                       extras.get("end_to_end_resident")]
     best_e2e = max([x for x in e2e_candidates if x] or [0.0])
-    print(json.dumps({
-        "metric": f"{args.model}_train_points_per_sec",
+    return {
+        "metric": f"{model}_train_points_per_sec",
         "value": round(device_pps, 1),
         "unit": "points/sec/chip",
         "vs_baseline": round(device_pps / BASELINE_POINTS_PER_SEC, 3),
@@ -544,7 +550,7 @@ def main():
         "link_degraded": link_degraded,
         **extras,
         "scaling": scaling,
-    }))
+    }
 
 
 if __name__ == "__main__":

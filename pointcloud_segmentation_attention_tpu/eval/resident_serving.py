@@ -512,10 +512,10 @@ class ResidentSceneServer:
         self._steps = {}
 
     def _n_pad(self, n: int) -> int:
-        b = self.pad_multiple
-        while b < n:
-            b *= 2
-        return b
+        # Linear buckets: padding waste is bounded by pad_multiple points
+        # (uploaded bytes scale with n_pad — a doubling bucket would waste
+        # up to 2x link bandwidth for a few fewer compiles).
+        return -(-n // self.pad_multiple) * self.pad_multiple
 
     def _layout(self, n_pad: int) -> SceneLayout:
         return SceneLayout(self.layout_kind, n_pad, self.use_colors,
