@@ -36,11 +36,18 @@ tag("devices", {"devices": [str(d) for d in jax.devices()]})
 
 import bench  # noqa: E402
 
-# --- 1. flagship device step (HIGHEST-precision VJP regression check) ----
-pps = bench.measure_device_step(16, 8192)
-tag("device_step", {"pts_per_s": round(pps, 1),
-                    "ms": round(16 * 8192 / pps * 1e3, 2),
-                    "r3_ms": 21.0})
+# --- 1. flagship device step: scatter-add VJP ingest precision A/B ------
+from pointcloud_segmentation_attention_tpu.ops.pallas import (  # noqa: E402
+    group_gather_kernel as ggk,
+)
+
+for prec in (None, jax.lax.Precision.HIGHEST):
+    ggk.VJP_PRECISION = prec
+    pps = bench.measure_device_step(16, 8192)
+    tag(f"device_step_prec_{prec}", {
+        "pts_per_s": round(pps, 1),
+        "ms": round(16 * 8192 / pps * 1e3, 2), "r3_ms": 21.0})
+ggk.VJP_PRECISION = None
 
 # --- 2. device sampler: fast vs exact occupancy -------------------------
 from pointcloud_segmentation_attention_tpu.train.device_sampler import (  # noqa: E402

@@ -1,0 +1,99 @@
+"""TPU batch r4b: the rewritten (gather-free) sampler occupancy + trace.
+
+Follow-up to tpu_batch_r4.py: the first fast-occupancy formulation gathered
+cumsum[run_start] per retry and was SLOWER than the sort it replaced
+(85 vs 64 ms — TPU gathers pay per element).  This measures the cummax
+reformulation and, if the step is still > 35 ms, captures a profiler trace
+and prints the bucket attribution.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def tag(name, obj):
+    print(f"@@{name}@@ " + json.dumps(obj), flush=True)
+
+
+t_start = time.time()
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+tag("devices", {"devices": [str(d) for d in jax.devices()]})
+
+import bench  # noqa: E402
+from pointcloud_segmentation_attention_tpu.train.device_sampler import (  # noqa: E402
+    ResidentScenes, make_sampling_train_step,
+)
+
+rng = np.random.RandomState(0)
+scenes = ResidentScenes([
+    {"points": (rng.rand(150_000, 3) * [6, 5, 2.5]).astype(np.float32),
+     "labels": rng.randint(1, 21, 150_000).astype(np.int32),
+     "colors": rng.randint(0, 256, (150_000, 3)).astype(np.uint8),
+     "normals": rng.rand(150_000, 3).astype(np.float32)}
+    for _ in range(8)
+])
+state, _ = bench._make_state_and_batch(16, 8192)
+ids = jnp.asarray(rng.randint(0, 8, (16,)).astype(np.int32))
+key = jax.random.PRNGKey(1)
+
+results = {}
+for occ in ("fast", "exact"):
+    step = make_sampling_train_step(scenes, 8192, occupancy=occ)
+    st = state
+    st, m = step(st, ids, key)
+    float(m["loss"])
+    for _ in range(40):
+        st, m = step(st, ids, key)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(60):
+        st, m = step(st, ids, key)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / 60
+    results[occ] = dt * 1e3
+    tag(f"sampler_{occ}", {"ms": round(dt * 1e3, 2),
+                           "pts_per_s": round(16 * 8192 / dt, 1),
+                           "r3_ms": 64.3})
+
+# Augmented variant (fresh rotation per chunk): the production config.
+step = make_sampling_train_step(scenes, 8192, augment=True)
+st = state
+st, m = step(st, ids, key)
+float(m["loss"])
+for _ in range(30):
+    st, m = step(st, ids, key)
+float(m["loss"])
+t0 = time.perf_counter()
+for _ in range(60):
+    st, m = step(st, ids, key)
+float(m["loss"])
+dt = (time.perf_counter() - t0) / 60
+tag("sampler_fast_augment", {"ms": round(dt * 1e3, 2),
+                             "pts_per_s": round(16 * 8192 / dt, 1)})
+
+if results.get("fast", 0) > 35.0:
+    step = make_sampling_train_step(scenes, 8192)
+    st = state
+    st, m = step(st, ids, key)
+    float(m["loss"])
+    for _ in range(20):
+        st, m = step(st, ids, key)
+    float(m["loss"])
+    jax.profiler.start_trace("/tmp/psa_trace_sampler_r4")
+    for _ in range(10):
+        st, m = step(st, ids, key)
+    float(m["loss"])
+    jax.profiler.stop_trace()
+    from pointcloud_segmentation_attention_tpu.utils.trace_breakdown import (
+        parse_trace_dir,
+    )
+    out = parse_trace_dir("/tmp/psa_trace_sampler_r4", n_steps=10)
+    tag("buckets", out["buckets"])
+    tag("top", out["top_ops"][:16])
+
+tag("done", {"total_s": round(time.time() - t_start, 1)})

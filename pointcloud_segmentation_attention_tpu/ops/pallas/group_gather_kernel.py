@@ -33,6 +33,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Module-level knob for the scatter-add VJP's MXU ingest precision (None =
+# backend default bf16 ingest; jax.lax.Precision.HIGHEST = f32-exact, see
+# the note inside _scatter_add_kernel).  A module flag rather than a per-op
+# arg because the op sits several layers below the model API.
+VJP_PRECISION = None
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -138,14 +145,17 @@ def _scatter_add_kernel(idx_ref, g_ref, out_ref):
     # dP[t] += sum_r 1[idx_r == t] * g_r — the scatter-add as an MXU
     # matmul (contraction spec, not explicit transpose: Mosaic would
     # materialize onehot.T — see the interpolate kernel's bwd note).
-    # Precision HIGHEST: the default MXU bf16-ingest would silently change
-    # gradient accumulation numerics vs the f32 XLA scatter-add this
-    # replaces; the indicator operand is exact either way, but the gradient
-    # operand is not (advisor r3).
+    # Precision (advisor r3): VJP_PRECISION=HIGHEST makes the gradient
+    # operand's ingest exact (the indicator operand is 0/1, exact either
+    # way) and matches the f32 XLA scatter-add numerics — at a measured
+    # +1.0 ms/step across SA2-4 at flagship shapes (21.0 -> 22.0 ms, r4)
+    # for a 1.7e-3-relative gradient delta (bf16-MXU class, gradients not
+    # parameters), so the default stays the fast MXU ingest; flip the
+    # module flag for numerics-sensitive work.
     out_ref[...] += jax.lax.dot_general(
         onehot, g_ref[...], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=VJP_PRECISION,
     )
 
 

@@ -170,14 +170,20 @@ def _occupancy_fraction_exact(pts, cand):
 
 def _occupancy_fraction_fast(win_run_start, cand, max_len: int):
     """Distinct-voxels-among-candidates on a voxel-PRESORTED window: point i
-    is counted iff it is the first candidate of its voxel run.  One cumsum +
-    two gathers — no sort (43 ms/step cheaper at flagship geometry)."""
+    is counted iff it is the first candidate of its voxel run, i.e. the
+    nearest candidate strictly before i lies before the run start.  One
+    cummax + elementwise — no sort, and crucially NO GATHER: a first
+    formulation gathered ``cumsum[run_start]`` per retry, and that single
+    (max_len,)-element random gather cost more than the sort it replaced
+    (TPU gathers pay per element, not per byte)."""
+    import jax
     import jax.numpy as jnp
 
-    c = jnp.cumsum(cand.astype(jnp.int32))               # inclusive counts
-    c0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), c])
-    before_run = c0[jnp.clip(win_run_start, 0, max_len)]  # cands before run
-    first_in_run = cand & (c - 1 == before_run)
+    iota = jnp.arange(max_len, dtype=jnp.int32)
+    prev_incl = jax.lax.cummax(jnp.where(cand, iota, -1))
+    prev_before = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), prev_incl[:-1]])
+    first_in_run = cand & (prev_before < win_run_start)
     return jnp.sum(first_in_run.astype(jnp.float32)) / _N_VOXELS
 
 
@@ -291,12 +297,22 @@ def sample_chunk_batch(scenes: ResidentScenes, scene_ids, rng, npoints: int,
 
 def make_sampling_train_step(scenes: ResidentScenes, npoints: int,
                              mesh=None, donate=True, class_weights=None,
-                             occupancy: str = "fast", **step_kwargs):
+                             occupancy: str = "fast", augment=False,
+                             **step_kwargs):
     """jit ``(state, scene_ids, rng) -> (state, metrics)``: cut a fresh
     random chunk per sample ON DEVICE and train on it — the no-precompute
-    training path.  scene_ids shard over ``data`` under a mesh."""
+    training path.  scene_ids shard over ``data`` under a mesh.
+
+    ``augment=True`` z-rotates every sampled chunk (points + normal
+    features) by a fresh per-sample angle — the on-device twin of the
+    rotation the precompute pass bakes per (epoch, scene)
+    (ref data_transformation.py:334-352), without which the sampler path
+    would silently train UNaugmented."""
     import jax
 
+    from pointcloud_segmentation_attention_tpu.train.device_replay import (
+        rotate_batch_z,
+    )
     from pointcloud_segmentation_attention_tpu.train.steps import (
         seg_train_step,
     )
@@ -305,6 +321,11 @@ def make_sampling_train_step(scenes: ResidentScenes, npoints: int,
         batch = sample_chunk_batch(
             scenes, scene_ids, jax.random.fold_in(rng, state.step),
             npoints, class_weights, occupancy=occupancy)
+        if augment:
+            # ``scenes`` quacks like a WireSpec here (use_colors/use_normals).
+            batch = rotate_batch_z(
+                batch, scenes,
+                jax.random.fold_in(jax.random.fold_in(rng, 77), state.step))
         return seg_train_step(state, batch, rng, **step_kwargs)
 
     donate_argnums = (0,) if donate else ()

@@ -322,7 +322,7 @@ def train(config: TrainConfig, max_steps: Optional[int] = None,
         _samp_step = ds.make_sampling_train_step(
             sampler_scenes, config.n_points, mesh=mesh, bn_schedule=bn,
             lr_schedule=lr, num_classes=config.num_classes,
-            remat=config.remat,
+            remat=config.remat, augment=config.resident_augment,
         )
 
         def train_step(s, b, r):

@@ -207,6 +207,38 @@ def test_sampling_train_step_on_mesh():
     assert float(m2["loss"]) != float(m["loss"])
 
 
+def test_sampling_step_augment_rotates():
+    """augment=True trains on z-rotated fresh chunks (the on-device twin of
+    the precompute pass's baked rotation) — runs and differs from the
+    unaugmented step."""
+    import optax
+
+    from pointcloud_segmentation_attention_tpu import models
+    from pointcloud_segmentation_attention_tpu.train import create_state
+
+    rng = np.random.RandomState(9)
+    scenes = ResidentScenes([_make_scene(4000, rng)])
+    model = models.get_model(
+        "sem_seg_features", num_classes=21,
+        sa_npoints=(16, 8, 4, 2), sa_radii=(0.2, 0.4, 0.8, 1.2),
+        sa_nsample=4, sa_mlps=((8, 8),) * 4,
+        fp_mlps=((8,), (8,), (8,), (8, 8)))
+    npoints = 128
+    state = create_state(
+        model, optax.adam(1e-3), jax.random.PRNGKey(0),
+        jnp.zeros((1, npoints, 3)), jnp.zeros((1, npoints, 6)), train=False)
+    ids = jnp.zeros((2,), jnp.int32)
+    key = jax.random.PRNGKey(1)
+    plain = make_sampling_train_step(scenes, npoints, donate=False)
+    aug = make_sampling_train_step(scenes, npoints, donate=False,
+                                   augment=True)
+    _, m0 = plain(state, ids, key)
+    _, m1 = aug(state, ids, key)
+    assert np.isfinite(float(m1["loss"]))
+    # Same rng stream, same chunks — only the rotation differs.
+    assert float(m0["loss"]) != float(m1["loss"])
+
+
 def test_zero_precompute_recipe_smoke(tmp_path):
     """The zero-precompute recipe runs end to end (tiny): scenes resident,
     sampling steps, stitched eval — and never creates a precompute dir."""
