@@ -44,7 +44,10 @@ key = jax.random.PRNGKey(1)
 results = {}
 for occ in ("fast", "exact"):
     step = make_sampling_train_step(scenes, 8192, occupancy=occ)
-    st = state
+    # Fresh state per variant: the step donates its state argument, so
+    # reusing the template across variants trips on a deleted buffer
+    # (exactly what killed tpu_batch_r4 section 2).
+    st, _ = bench._make_state_and_batch(16, 8192)
     st, m = step(st, ids, key)
     float(m["loss"])
     for _ in range(40):
@@ -62,7 +65,7 @@ for occ in ("fast", "exact"):
 
 # Augmented variant (fresh rotation per chunk): the production config.
 step = make_sampling_train_step(scenes, 8192, augment=True)
-st = state
+st, _ = bench._make_state_and_batch(16, 8192)
 st, m = step(st, ids, key)
 float(m["loss"])
 for _ in range(30):
@@ -78,7 +81,7 @@ tag("sampler_fast_augment", {"ms": round(dt * 1e3, 2),
 
 if results.get("fast", 0) > 35.0:
     step = make_sampling_train_step(scenes, 8192)
-    st = state
+    st, _ = bench._make_state_and_batch(16, 8192)
     st, m = step(st, ids, key)
     float(m["loss"])
     for _ in range(20):
@@ -95,5 +98,58 @@ if results.get("fast", 0) > 35.0:
     out = parse_trace_dir("/tmp/psa_trace_sampler_r4", n_steps=10)
     tag("buckets", out["buckets"])
     tag("top", out["top_ops"][:16])
+
+del scenes, st
+
+# --- resident serving ----------------------------------------------------
+med, samples, slots = bench.measure_serving_resident(n=8192, batch_size=16)
+tag("serving_resident", {"vertices_per_s": round(med, 1),
+                         "samples": samples, "slots_per_s": slots})
+
+# --- BN-fold inference delta ---------------------------------------------
+from pointcloud_segmentation_attention_tpu.train.bn_fold import (  # noqa: E402
+    fold_batchnorm_for_inference,
+)
+from pointcloud_segmentation_attention_tpu.train import seg_predict_step  # noqa: E402
+
+state_i, batch_i = bench._make_state_and_batch(16, 8192)
+folded, n_folded = fold_batchnorm_for_inference(state_i)
+
+
+def time_inference(st):
+    pred = jax.jit(seg_predict_step)
+    logits = pred(st, batch_i["points"], batch_i["features"])
+    float(logits[0, 0, 0])
+    for _ in range(40):
+        logits = pred(st, batch_i["points"], batch_i["features"])
+    float(logits[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(150):
+        logits = pred(st, batch_i["points"], batch_i["features"])
+    float(logits[0, 0, 0])
+    return (time.perf_counter() - t0) / 150
+
+
+ms_plain = time_inference(state_i) * 1e3
+ms_fold = time_inference(folded) * 1e3
+tag("bn_fold", {"ms_plain": round(ms_plain, 3), "ms_folded": round(ms_fold, 3),
+                "delta_ms": round(ms_plain - ms_fold, 3),
+                "n_folded": n_folded})
+del state_i, batch_i, folded
+
+# --- driver entry check --------------------------------------------------
+import __graft_entry__  # noqa: E402
+
+fn, args = __graft_entry__.entry()
+out = jax.jit(fn)(*args)
+tag("entry", {"shape": list(out.shape)})
+del fn, args, out
+
+# --- full bench, twice ---------------------------------------------------
+for i in range(2):
+    r = bench.run_bench()
+    with open(f"/tmp/BENCH_r4_run{i}.json", "w") as f:
+        json.dump(r, f)
+    tag(f"bench_run{i}", r)
 
 tag("done", {"total_s": round(time.time() - t_start, 1)})
