@@ -416,8 +416,12 @@ def make_scene_chunker(layout: SceneLayout, x_cap: int, npoints: int,
              is_home_s.astype(jnp.int32)), num_keys=1)
 
         t = jnp.arange(x_cap * npoints, dtype=jnp.int32)
+        # method='sort': the default 'scan' binary search is ~20 sequential
+        # iterations of per-element gathers (10M gathers at real-scene
+        # sizes); one co-sort does the rank lookup vectorized.
         j = jnp.clip(
-            jnp.searchsorted(dest_s, t, side="right") - 1, 0, e_total - 1)
+            jnp.searchsorted(dest_s, t, side="right", method="sort") - 1,
+            0, e_total - 1)
         real = dest_s[j] == t
         in_chunks = t < n_chunks * npoints
         # Tail slots: the last real entry at or before t belongs to this
@@ -446,17 +450,12 @@ def _hash32_jnp(pid, seed: int):
 
 def make_resident_predict_step(state, layout: SceneLayout, batch_size: int,
                                npoints: int):
-    """jit ``(scene_buf, idx (B, npoints), mask, acc (n_pad+1,)) -> acc``:
-    gather chunk batch from the resident buffer, predict, argmax, and
-    scatter labels straight into the per-vertex accumulator (the device
-    ``map_back``; masked slots land in the sentinel row).  ``acc`` is
-    donated so the scene's label buffer updates in place across batches."""
+    """jit ``(scene_buf, idx (B, npoints)) -> (B, npoints) u8 labels``:
+    gather the chunk batch from the resident buffer, predict, argmax."""
     import jax
     import jax.numpy as jnp
 
-    n_pad = layout.n_pad
-
-    def step(st, buf, idx, mask, acc):
+    def step(st, buf, idx):
         scene = _decode_scene_jnp(buf, layout)
         flat = idx.reshape(-1)
         pts = scene["points"][flat].reshape(batch_size, npoints, 3)
@@ -470,11 +469,27 @@ def make_resident_predict_step(state, layout: SceneLayout, batch_size: int,
         feats = jnp.concatenate(parts, axis=-1) if parts else None
         variables = {"params": st.params, "batch_stats": st.batch_stats}
         logits = st.apply_fn(variables, pts, feats, train=False)
-        lab = jnp.argmax(logits, axis=-1).astype(acc.dtype)
-        tgt = jnp.where(mask, idx, n_pad).reshape(-1)
-        return acc.at[tgt].set(lab.reshape(-1), mode="drop")
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-    return jax.jit(step, donate_argnums=(4,))
+    return jax.jit(step)
+
+
+def make_stitch(n_pad: int, x_cap: int, npoints: int):
+    """jit ``(labels (x_cap, npoints) u8, idx, mask) -> (n_pad,) u8``: the
+    device ``map_back``.  Every vertex is mask-True exactly once, so ONE
+    stable sort by ``where(mask, idx, sentinel)`` places vertex v's label at
+    position v — replacing a 131k-element scatter per batch (XLA scatters
+    serialize per element on TPU) with a single vectorized sort per scene."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def stitch(labels, idx, mask):
+        key = jnp.where(mask, idx, n_pad).reshape(-1)
+        _, lab_s = lax.sort((key, labels.reshape(-1)), num_keys=1)
+        return lab_s[:n_pad]
+
+    return jax.jit(stitch)
 
 
 # ---------------------------------------------------------------------------
@@ -524,13 +539,16 @@ class ResidentSceneServer:
     def _get_programs(self, n_pad: int, x_cap: int):
         ck = (n_pad, x_cap)
         if ck not in self._chunkers:
-            self._chunkers[ck] = make_scene_chunker(
-                self._layout(n_pad), x_cap, self.npoints, self.seed)
+            self._chunkers[ck] = (
+                make_scene_chunker(self._layout(n_pad), x_cap, self.npoints,
+                                   self.seed),
+                make_stitch(n_pad, x_cap, self.npoints),
+            )
         if n_pad not in self._steps:
             self._steps[n_pad] = make_resident_predict_step(
                 self.state, self._layout(n_pad), self.batch_size,
                 self.npoints)
-        return self._chunkers[ck], self._steps[n_pad]
+        return (*self._chunkers[ck], self._steps[n_pad])
 
     def _launch(self, scene: Dict[str, np.ndarray]):
         """Enqueue one scene's full device pipeline; returns (name, n,
@@ -556,16 +574,18 @@ class ResidentSceneServer:
         # products in it are representable, so no slack needed.)
         x += self.batch_size if self.layout_kind == "q16" else 0
         x_cap = _bucket(x, 4 * self.batch_size)
-        chunker, step = self._get_programs(n_pad, x_cap)
+        chunker, stitch, step = self._get_programs(n_pad, x_cap)
 
         dbuf = jax.device_put(buf)                       # ONE upload
         idx, mask, _ = chunker(dbuf, n)
-        acc = jnp.zeros((n_pad + 1,), jnp.uint8)
         nb = -(-x // self.batch_size)
-        for b in range(nb):
-            s = b * self.batch_size
-            acc = step(self.state, dbuf, idx[s:s + self.batch_size],
-                       mask[s:s + self.batch_size], acc)
+        labs = [step(self.state, dbuf, idx[b * self.batch_size:
+                                           (b + 1) * self.batch_size])
+                for b in range(nb)]
+        if nb * self.batch_size < x_cap:
+            labs.append(jnp.zeros(
+                (x_cap - nb * self.batch_size, self.npoints), jnp.uint8))
+        acc = stitch(jnp.concatenate(labs, axis=0), idx, mask)
         try:  # overlap D2H with the next scene's compute
             acc.copy_to_host_async()
         except AttributeError:

@@ -248,11 +248,15 @@ def _sample_one(points, labels, colors, normals, run_start, offset, length,
 
     # npoints WITH replacement, uniform over candidates (ref :147
     # rng.choice(len(sel), npoints, replace=True)) — inverse-CDF over the
-    # candidate mask as weights.
+    # candidate mask as weights.  method='sort': the default 'scan' binary
+    # search is ~18 sequential iterations of per-element gathers — traced
+    # at 24 ms/step at flagship geometry; one vectorized co-sort of
+    # (cdf ++ queries) does the same rank lookup in ~3 ms.
     cdf = jnp.cumsum(cand.astype(jnp.float32))
     u = jax.random.uniform(jax.random.fold_in(key, 1000), (npoints,))
-    take = jnp.clip(jnp.searchsorted(cdf, u * cdf[-1], side="left"),
-                    0, max_len - 1).astype(jnp.int32)
+    take = jnp.clip(
+        jnp.searchsorted(cdf, u * cdf[-1], side="left", method="sort"),
+        0, max_len - 1).astype(jnp.int32)
 
     out = {
         "points": win_pts[take],
