@@ -517,13 +517,24 @@ def run_bench(model="sem_seg_features", quick=False):
     # lives in docs/performance.md; the default bench keeps the production
     # paths: the best per-step-shipping wire and device-resident replay.
     extra_median("end_to_end_packed_q16", measure_end_to_end, b, n,
-                 wire="packed_q16")
+                 reps=5, wire="packed_q16")
     extra("end_to_end_resident", measure_end_to_end_resident, b, n)
     extra("inference", measure_inference, b, n)
     extra_median("serving_e2e_packed_q16", measure_inference_e2e, b, n,
-                 wire="packed_q16")
+                 reps=5, wire="packed_q16")
     extra_median("serving_resident", measure_serving_resident, n,
                  batch_size=b)
+    # Achieved wire rate per link-bound metric (points/sec x bytes/point):
+    # directly comparable to the bracketing link fits, so a weather-hit
+    # number is self-explaining — if the achieved MB/s matches the hour's
+    # link bandwidth, the path is link-saturated and the design is not the
+    # limiter; if it is far below, the path is compute-bound.
+    for key, bpp in (("end_to_end_packed_q16", 14.0),
+                     ("serving_e2e_packed_q16", 15.0),
+                     ("serving_resident", 13.0)):
+        if extras.get(key):
+            extras[f"{key}_wire_mb_per_s"] = round(
+                extras[key] * bpp / 2**20, 1)
     extras["link_after"] = guard("link_after", measure_link)
     link_degraded = any(
         bool(f and f.get("degraded"))

@@ -371,14 +371,16 @@ def make_scene_chunker(layout: SceneLayout, x_cap: int, npoints: int,
                                (n_pad, 4))
         h = _hash32_jnp(pid, seed)
 
-        # Sort #1: lexicographic (cell, hash, pid); non-members to the end.
+        # THE sort: lexicographic (cell, hash, pid); non-members to the
+        # end.  pid and the home flag ride as ONE packed payload so the
+        # later per-slot fetch is a single gather.
         cell_key = jnp.where(member, cell_id, i32max).reshape(-1)
-        cell_s, _, pid_s, home_flag_s = lax.sort(
-            (cell_key, h.reshape(-1), pid.reshape(-1),
-             (cell_id == home_id[:, None]).reshape(-1).astype(jnp.int32)),
-            num_keys=3)
+        packed = ((pid << 1) | (cell_id == home_id[:, None]).astype(
+            jnp.int32)).reshape(-1)
+        cell_s, _, packed_s = lax.sort(
+            (cell_key, h.reshape(-1), packed), num_keys=3)
         memb_valid = cell_s < i32max
-        is_home_s = (home_flag_s == 1) & memb_valid
+        is_home_s = ((packed_s & 1) == 1) & memb_valid
 
         # Run boundaries over the sorted cell ids (the sentinel run included,
         # so the last real run's end is well-defined).
@@ -391,7 +393,6 @@ def make_scene_chunker(layout: SceneLayout, x_cap: int, npoints: int,
              jnp.full((1,), e_total, jnp.int32)])
         next_start = lax.cummin(nxt[::-1])[::-1]
         run_len = next_start - run_start
-        rank = iota - run_start
 
         # Kept cells: >= 1 home entry in the run.
         ch = jnp.cumsum(is_home_s.astype(jnp.int32))
@@ -401,41 +402,48 @@ def make_scene_chunker(layout: SceneLayout, x_cap: int, npoints: int,
 
         # Global chunk numbering in cell order: base = chunks before my run.
         chunks_of_run = -(-run_len // npoints)              # ceil
-        contrib = jnp.where(new_run & keep, chunks_of_run, 0)
+        heads = new_run & keep
+        contrib = jnp.where(heads, chunks_of_run, 0)
         cum = jnp.cumsum(contrib)
-        cum0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum])
-        base = cum0[run_start]
         n_chunks = cum[-1]
 
-        # Destination slot of every kept entry — strictly increasing along
-        # the sorted order, so slot->entry inverts with ONE searchsorted
-        # instead of a serializing scatter.
-        dest = jnp.where(keep, base * npoints + rank, i32max)
-        dest_s, pid2, rs2, len2, base2, home2 = lax.sort(
-            (dest, pid_s, run_start, run_len, base,
-             is_home_s.astype(jnp.int32)), num_keys=1)
+        # Kept-cell table (<= x_cap rows, since every kept cell has >= 1
+        # chunk): head-entry positions via ONE top_k over the entry array —
+        # no second sort, no searchsorted (an earlier slot-inversion
+        # co-sorted 1.2M keys; with <= x_cap cells the inversion is tiny
+        # table arithmetic + one gather).
+        _, head_pos = jax.lax.top_k(
+            jnp.where(heads, -iota, -jnp.int32(2**30)), x_cap)
+        # top_k returns descending keys -> head positions ascend by iota.
+        n_cells = jnp.sum(heads.astype(jnp.int32))
+        cell_valid = jnp.arange(x_cap) < n_cells            # (C,)
+        hp = jnp.clip(head_pos, 0, e_total - 1)
+        t_rs = run_start[hp]                                # (C,) tiny gathers
+        t_len = run_len[hp]
+        t_base = cum[hp] - chunks_of_run[hp]                # exclusive cumsum
 
-        t = jnp.arange(x_cap * npoints, dtype=jnp.int32)
-        # method='sort': the default 'scan' binary search is ~20 sequential
-        # iterations of per-element gathers (10M gathers at real-scene
-        # sizes); one co-sort does the rank lookup vectorized.
-        j = jnp.clip(
-            jnp.searchsorted(dest_s, t, side="right", method="sort") - 1,
-            0, e_total - 1)
-        real = dest_s[j] == t
-        in_chunks = t < n_chunks * npoints
-        # Tail slots: the last real entry at or before t belongs to this
-        # chunk's cell; modulo fill from that cell's sorted members.
-        fill_rel = jnp.where(in_chunks,
-                             (t - base2[j] * npoints) % jnp.maximum(len2[j], 1),
-                             0)
-        fill_pid = pid_s[jnp.clip(rs2[j] + fill_rel, 0, e_total - 1)]
-        out_pid = jnp.where(real, pid2[j], fill_pid)
-        out_pid = jnp.where(in_chunks, out_pid, 0).astype(jnp.int32)
-        out_mask = real & (home2 == 1)[j] & in_chunks
-        return (out_pid.reshape(x_cap, npoints),
-                out_mask.reshape(x_cap, npoints),
-                n_chunks.astype(jnp.int32))
+        # Per-chunk cell rank: r(x) = #(kept cells whose base <= x) - 1.
+        x_ids = jnp.arange(x_cap, dtype=jnp.int32)          # (X,)
+        r = (jnp.sum((t_base[None, :] <= x_ids[:, None])
+                     & cell_valid[None, :], axis=1) - 1)
+        r = jnp.clip(r, 0, x_cap - 1)
+        c_rs = t_rs[r]                                      # (X,) tiny gathers
+        c_len = jnp.maximum(t_len[r], 1)
+        c_base = t_base[r]
+
+        # Per-slot: rank within the cell's slot space -> entry index in the
+        # sorted array -> ONE (X * npoints) gather of the packed payload.
+        s_ids = jnp.arange(npoints, dtype=jnp.int32)        # (n,)
+        rank_in_cell = ((x_ids - c_base)[:, None] * npoints
+                        + s_ids[None, :])                   # (X, n)
+        real = rank_in_cell < c_len[:, None]
+        fill_rel = rank_in_cell % c_len[:, None]            # modulo tail
+        entry = jnp.clip(c_rs[:, None] + fill_rel, 0, e_total - 1)
+        got = packed_s[entry]                               # THE gather
+        in_chunks = (x_ids < n_chunks)[:, None]
+        out_pid = jnp.where(in_chunks, got >> 1, 0).astype(jnp.int32)
+        out_mask = real & ((got & 1) == 1) & in_chunks
+        return (out_pid, out_mask, n_chunks.astype(jnp.int32))
 
     return jax.jit(chunker)
 

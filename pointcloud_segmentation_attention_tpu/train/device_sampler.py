@@ -39,11 +39,15 @@ agreement is asserted in tests); ``occupancy='exact'`` keeps the bbox-fit
 sort path for A/B.
 
 Scenes of different sizes ride in one concatenated buffer with per-scene
-(offset, length); each sample works on a fixed ``max_len`` window.  The
-buffer carries ``max_len`` rows of tail padding so the window slice never
-clamps (a clamped ``dynamic_slice`` start would silently misalign the
-window with the per-scene offsets and bleed the previous scene's points
-into the sample).
+(offset, length).  Because the voxel sort's PRIMARY key is the x-cell,
+every tried box's candidate set lives in a contiguous x-STRIPE of the
+sorted scene — so each try and the final draw work on a fixed ``sub_len``
+stripe window (the host-computed max stripe population) instead of the
+whole scene, and the sampling cost scales with ~1.9 m of room, not room
+size.  The buffer carries ``max_len`` rows of tail padding so stripe
+slices never clamp (a clamped ``dynamic_slice`` start would silently
+misalign the window with the per-scene offsets and bleed the previous
+scene's points into the sample).
 """
 from __future__ import annotations
 
@@ -63,14 +67,20 @@ from pointcloud_segmentation_attention_tpu.train.steps import (
 _N_VOXELS = int(np.prod(OCCUPANCY_GRID))
 
 
-def scene_voxel_sort(points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def scene_voxel_sort(
+    points: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host-side, once per scene: sort order by scene-anchored voxel id +
-    per-point first-index-of-my-voxel-run (relative to the sorted scene).
+    per-point first-index-of-my-voxel-run (relative to the sorted scene) +
+    the sorted per-point x-cell index.
 
     Cell sizes: (chunk + 2*margin)/31 in xy — so a candidate box spans ~31
     cells like the reference's bbox-fit grid — and scene z extent / 62.
-    Returns ``(order, run_start_rel)`` with ``run_start_rel`` indexed in
-    sorted order.
+    The PRIMARY sort key is the x-cell, which makes every chunk's candidate
+    set a contiguous x-STRIPE of the sorted scene: the sampler then works
+    on a bounded sub-window instead of the whole scene (the sub-window
+    length is the dominant per-step cost).
+    Returns ``(order, run_start_rel, vx_sorted)`` indexed in sorted order.
     """
     lo = points.min(axis=0)
     cxy = (CHUNK_SIZE + 2 * CONTEXT_MARGIN) / OCCUPANCY_GRID[0]
@@ -87,7 +97,23 @@ def scene_voxel_sort(points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     np.not_equal(sorted_vid[1:], sorted_vid[:-1], out=new_run[1:])
     run_start_rel = np.maximum.accumulate(
         np.where(new_run, np.arange(len(points)), 0)).astype(np.int32)
-    return order, run_start_rel
+    return order, run_start_rel, vx[order].astype(np.int32)
+
+
+# x-cells a (chunk + 2*margin)-wide box can straddle: 31 cells of exactly
+# that width, +1 for grid phase, +1 so the exclusive upper bound is safe.
+_STRIPE_CELLS = OCCUPANCY_GRID[0] + 2
+
+
+def stripe_window_len(vx_sorted: np.ndarray) -> int:
+    """Max points any chunk's x-stripe can contain in this scene: the
+    largest population of ``_STRIPE_CELLS`` consecutive x-cells (exact —
+    host two-pointer over the x-cell histogram, once at upload)."""
+    counts = np.bincount(vx_sorted)
+    prefix = np.concatenate([[0], np.cumsum(counts)])
+    w = min(_STRIPE_CELLS, len(counts))
+    return int((prefix[w:] - prefix[:-w]).max()) if len(prefix) > w \
+        else len(vx_sorted)
 
 
 class ResidentScenes:
@@ -113,9 +139,14 @@ class ResidentScenes:
         self.use_colors = use_colors
         self.use_normals = use_normals
 
-        orders, run_starts = zip(*(
+        orders, run_starts, vxs = zip(*(
             scene_voxel_sort(np.asarray(s["points"], np.float32))
             for s in scenes))
+        # Static stripe window: the largest x-stripe population over all
+        # scenes (rounded up for stable compiled shapes; capped by max_len,
+        # at which point the stripe path degenerates to the full window).
+        raw_sub = max(stripe_window_len(v) for v in vxs)
+        self.sub_len = min(self.max_len, -(-raw_sub // 1024) * 1024)
 
         def put(x):
             if mesh is None:
@@ -136,6 +167,12 @@ class ResidentScenes:
         self.normals = cat("normals", np.float32) if use_normals else None
         self.run_start = put(np.concatenate(
             list(run_starts) + [np.zeros(self.max_len, np.int32)]))
+        # Sentinel-padded x-cells: padding never matches a stripe search.
+        self.vx = put(np.concatenate(
+            list(vxs) + [np.full(self.max_len, 2**30, np.int32)]))
+        self.x_mins = put(np.stack(
+            [np.asarray(s["points"], np.float32)[:, 0].min()
+             for s in scenes]).astype(np.float32))
         self.d_offsets = put(offsets)
         self.d_lengths = put(lengths)
 
@@ -187,40 +224,72 @@ def _occupancy_fraction_fast(win_run_start, cand, max_len: int):
     return jnp.sum(first_in_run.astype(jnp.float32)) / _N_VOXELS
 
 
-def _sample_one(points, labels, colors, normals, run_start, offset, length,
-                key, *, npoints: int, max_len: int, class_weights,
-                occupancy: str = "fast", with_box: bool = False):
-    """Sample one chunk from one scene window; returns a chunk dict of
-    fixed shapes (npoints rows)."""
+def _sample_one(points, labels, colors, normals, run_start, vx, x_min,
+                offset, length, key, *, npoints: int, max_len: int,
+                sub_len: int, class_weights, occupancy: str = "fast",
+                with_box: bool = False):
+    """Sample one chunk from one scene; returns a chunk dict of fixed
+    shapes (npoints rows).
+
+    All per-try and per-draw work happens on a ``sub_len`` x-STRIPE window
+    of the x-cell-sorted scene (the stripe provably contains every
+    candidate of the tried box; ``sub_len`` is the host-computed max stripe
+    population) — the sampling cost scales with the stripe, not the scene.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    win_pts = lax.dynamic_slice(points, (offset, 0), (max_len, 3))
-    win_lab = lax.dynamic_slice(labels, (offset,), (max_len,))
-    win_rs = lax.dynamic_slice(run_start, (offset,), (max_len,))
-    valid = jnp.arange(max_len) < length
-    xy = win_pts[:, :2]
+    cxy = (CHUNK_SIZE + 2 * CONTEXT_MARGIN) / OCCUPANCY_GRID[0]
     half = CHUNK_SIZE / 2.0
+    big_vx = jnp.int32(2**30)
+    # Scene x-cell sequence (monotone within the scene; positions past
+    # ``length`` belong to the NEXT scene and must be masked to a sentinel
+    # or they would break the stripe binary search).
+    win_vx = lax.dynamic_slice(vx, (offset,), (max_len,))
+    win_vx = jnp.where(jnp.arange(max_len) < length, win_vx, big_vx)
 
-    def candidates(lo, hi):
-        in_ctx = ((xy >= lo - CONTEXT_MARGIN) & (xy <= hi + CONTEXT_MARGIN)
-                  ).all(axis=1) & valid
-        return in_ctx
+    def stripe_start(lo_x):
+        # First sorted index whose x-cell can hold x >= lo_x - margin.
+        target = jnp.floor((lo_x - CONTEXT_MARGIN - x_min) / cxy
+                           ).astype(jnp.int32)
+        return jnp.searchsorted(win_vx, target, side="left"
+                                ).astype(jnp.int32)
+
+    def stripe(arrs, start):
+        out = []
+        for a in arrs:
+            if a.ndim == 1:
+                out.append(lax.dynamic_slice(a, (offset + start,),
+                                             (sub_len,)))
+            else:
+                out.append(lax.dynamic_slice(
+                    a, (offset + start, 0), (sub_len, a.shape[1])))
+        return out
+
+    def stripe_masks(s_pts, start, lo, hi):
+        valid = start + jnp.arange(sub_len) < length
+        xy = s_pts[:, :2]
+        cand = ((xy >= lo - CONTEXT_MARGIN) & (xy <= hi + CONTEXT_MARGIN)
+                ).all(axis=1) & valid
+        return valid, cand
 
     def body(carry):
-        tries, ok, any_cand, box_lo, box_hi = carry
+        tries, ok, any_cand, box_lo, box_hi, box_start = carry
         k = jax.random.fold_in(key, tries)
-        ci = jax.random.randint(k, (), 0, length)
-        center = xy[ci]
+        ci = jnp.clip(jax.random.randint(k, (), 0, length), 0, max_len - 1)
+        center = points[offset + ci, :2]
         lo, hi = center - half, center + half
-        cand = candidates(lo, hi)
+        start = stripe_start(lo[0])
+        s_pts, s_lab = stripe((points, labels), start)
+        valid, cand = stripe_masks(s_pts, start, lo, hi)
         n_cand = jnp.sum(cand)
-        labeled = jnp.sum(cand & (win_lab > 0)) / jnp.maximum(n_cand, 1)
+        labeled = jnp.sum(cand & (s_lab > 0)) / jnp.maximum(n_cand, 1)
         if occupancy == "fast":
-            occ = _occupancy_fraction_fast(win_rs, cand, max_len)
+            (s_rs,) = stripe((run_start,), start)
+            occ = _occupancy_fraction_fast(s_rs - start, cand, sub_len)
         else:
-            occ = _occupancy_fraction_exact(win_pts, cand)
+            occ = _occupancy_fraction_exact(s_pts, cand)
         good = ((n_cand > 0) & (labeled >= MIN_LABELED_FRACTION)
                 & (occ >= MIN_VOXEL_OCCUPANCY))
         # The box always tracks the LATEST candidate-bearing try, so on
@@ -229,20 +298,26 @@ def _sample_one(points, labels, colors, normals, run_start, offset, length,
         take = (n_cand > 0) & ~ok
         box_lo = jnp.where(take, lo, box_lo)
         box_hi = jnp.where(take, hi, box_hi)
-        return tries + 1, ok | good, any_cand | (n_cand > 0), box_lo, box_hi
+        box_start = jnp.where(take, start, box_start)
+        return (tries + 1, ok | good, any_cand | (n_cand > 0),
+                box_lo, box_hi, box_start)
 
     def cond(carry):
         tries, ok, *_ = carry
         return (~ok) & (tries < MAX_TRIES)
 
     init = (jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
-            jnp.zeros((2,), jnp.float32), jnp.zeros((2,), jnp.float32))
-    _, ok, any_cand, lo, hi = lax.while_loop(cond, body, init)
+            jnp.zeros((2,), jnp.float32), jnp.zeros((2,), jnp.float32),
+            jnp.int32(0))
+    _, ok, any_cand, lo, hi, start = lax.while_loop(cond, body, init)
 
+    win_pts, win_lab = stripe((points, labels), start)
+    valid, cand = stripe_masks(win_pts, start, lo, hi)
+    xy = win_pts[:, :2]
     # Degenerate fallback (ref :84-96 `sel is None`): only when NO try ever
-    # produced candidates does the sampler fall back to the whole scene
+    # produced candidates does the sampler fall back to everything in view
     # (unreachable in practice — the center point is its own candidate).
-    cand = jnp.where(any_cand, candidates(lo, hi), valid)
+    cand = jnp.where(any_cand, cand, valid)
     inner = jnp.where(
         any_cand, ((xy >= lo) & (xy <= hi)).all(axis=1) & cand, valid)
 
@@ -256,7 +331,7 @@ def _sample_one(points, labels, colors, normals, run_start, offset, length,
     u = jax.random.uniform(jax.random.fold_in(key, 1000), (npoints,))
     take = jnp.clip(
         jnp.searchsorted(cdf, u * cdf[-1], side="left", method="sort"),
-        0, max_len - 1).astype(jnp.int32)
+        0, sub_len - 1).astype(jnp.int32)
 
     out = {
         "points": win_pts[take],
@@ -266,10 +341,10 @@ def _sample_one(points, labels, colors, normals, run_start, offset, length,
     }
     parts = []
     if colors is not None:
-        win_col = lax.dynamic_slice(colors, (offset, 0), (max_len, 3))
+        (win_col,) = stripe((colors,), start)
         parts.append(win_col[take].astype(jnp.float32) / 255.0)
     if normals is not None:
-        win_nrm = lax.dynamic_slice(normals, (offset, 0), (max_len, 3))
+        (win_nrm,) = stripe((normals,), start)
         parts.append(win_nrm[take])
     if parts:
         out["features"] = jnp.concatenate(parts, axis=-1)
@@ -291,11 +366,13 @@ def sample_chunk_batch(scenes: ResidentScenes, scene_ids, rng, npoints: int,
         else SCANNET_CLASS_WEIGHTS
     keys = jax.random.split(rng, scene_ids.shape[0])
     fn = partial(_sample_one, npoints=npoints, max_len=scenes.max_len,
-                 class_weights=cw, occupancy=occupancy, with_box=with_box)
+                 sub_len=scenes.sub_len, class_weights=cw,
+                 occupancy=occupancy, with_box=with_box)
     return jax.vmap(
         lambda sid, k: fn(scenes.points, scenes.labels, scenes.colors,
-                          scenes.normals, scenes.run_start,
-                          scenes.d_offsets[sid], scenes.d_lengths[sid], k)
+                          scenes.normals, scenes.run_start, scenes.vx,
+                          scenes.x_mins[sid], scenes.d_offsets[sid],
+                          scenes.d_lengths[sid], k)
     )(scene_ids, keys)
 
 

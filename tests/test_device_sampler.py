@@ -133,7 +133,7 @@ def test_fast_occupancy_value_tracks_exact_value():
 
     rng = np.random.RandomState(3)
     pts = (rng.rand(30000, 3) * [6.0, 5.0, 2.5]).astype(np.float32)
-    order, run_start = scene_voxel_sort(pts)
+    order, run_start, _vx = scene_voxel_sort(pts)
     pts_sorted = pts[order]
     diffs = []
     for i in range(6):

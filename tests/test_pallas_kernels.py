@@ -98,11 +98,14 @@ def test_ball_query_pallas_large_n_unpacked(rng):
     np.testing.assert_array_equal(np.asarray(gc), wc)
 
 
-def test_group_gather_vjp_precision_flag(rng):
+def test_group_gather_vjp_precision_flag():
     """The scatter-add VJP honors the module precision knob (advisor r3):
     under the HIGHEST flag the gradients still match the default path
     exactly in interpret mode (the knob only changes MXU ingest on real
-    TPU, where the measured delta is 1.7e-3-relative — docs)."""
+    TPU, where the measured delta is 1.7e-3-relative — docs).
+
+    Own RandomState (not the module fixture): consuming the shared stream
+    here shifts every downstream test's draws."""
     import jax
     import jax.numpy as jnp
 
@@ -110,6 +113,7 @@ def test_group_gather_vjp_precision_flag(rng):
         group_gather_kernel as ggk,
     )
 
+    rng = np.random.RandomState(21)
     pts = jnp.asarray(rng.rand(2, 64, 8).astype(np.float32))
     idx = jnp.asarray(rng.randint(0, 64, (2, 16, 4)).astype(np.int32))
     cnt = jnp.asarray(rng.randint(1, 5, (2, 16)).astype(np.int32))
@@ -153,7 +157,10 @@ def test_group_gather_pallas_matches_group_point(rng):
         p, jnp.asarray(idx), jnp.asarray(cnt), INTERPRET) ** 2))(jnp.asarray(pts))
     g2 = jax.grad(lambda p: jnp.sum(
         ops.group_point(p, jnp.asarray(idx)) ** 2))(jnp.asarray(pts))
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+    # rtol covers accumulation-order noise on O(10) gradient sums (a pure
+    # atol was one ULP-reassociation from failing).
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5,
+                               rtol=1e-5)
 
 
 def test_ball_query_pallas_realistic_n_mixed_density(rng):
