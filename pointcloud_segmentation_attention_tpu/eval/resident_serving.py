@@ -558,11 +558,13 @@ class ResidentSceneServer:
                 self.npoints)
         return (*self._chunkers[ck], self._steps[n_pad])
 
-    def _launch(self, scene: Dict[str, np.ndarray]):
-        """Enqueue one scene's full device pipeline; returns (name, n,
-        device label buffer) without synchronizing."""
+    def _stage(self, scene: Dict[str, np.ndarray]):
+        """Host work + the ONE upload for a scene (safe to run from the
+        prefetch thread: device_put is thread-safe and async, and running
+        it off-thread is what lets the wire time hide behind the previous
+        scene's device compute — measured 0.95 overlap efficiency on this
+        link, utils/h2d_bench)."""
         import jax
-        import jax.numpy as jnp
 
         points = np.asarray(scene["points"], np.float32)
         n = len(points)
@@ -581,10 +583,16 @@ class ResidentSceneServer:
         # ever left unpredicted.  (f32 membership arithmetic is exact: all
         # products in it are representable, so no slack needed.)
         x += self.batch_size if self.layout_kind == "q16" else 0
-        x_cap = _bucket(x, 4 * self.batch_size)
-        chunker, stitch, step = self._get_programs(n_pad, x_cap)
+        return (scene.get("scene_name"), n, n_pad,
+                _bucket(x, 4 * self.batch_size), x, jax.device_put(buf))
 
-        dbuf = jax.device_put(buf)                       # ONE upload
+    def _compute(self, staged):
+        """Enqueue one staged scene's device pipeline; returns (name, n,
+        device label buffer) without synchronizing."""
+        import jax.numpy as jnp
+
+        name, n, n_pad, x_cap, x, dbuf = staged
+        chunker, stitch, step = self._get_programs(n_pad, x_cap)
         idx, mask, _ = chunker(dbuf, n)
         nb = -(-x // self.batch_size)
         labs = [step(self.state, dbuf, idx[b * self.batch_size:
@@ -598,21 +606,30 @@ class ResidentSceneServer:
             acc.copy_to_host_async()
         except AttributeError:
             pass
-        return scene.get("scene_name"), n, acc
+        return name, n, acc
 
     def predict_scene(self, scene: Dict[str, np.ndarray]) -> np.ndarray:
         """points (N,3) [+ colors u8 / normals f32] -> per-vertex labels
         (N,) int32."""
-        _, n, acc = self._launch(scene)
+        _, n, acc = self._compute(self._stage(scene))
         return np.asarray(acc)[:n].astype(np.int32)
 
     def predict_scenes(self, scenes) -> Iterator[Tuple[str, np.ndarray]]:
-        """Pipelined multi-scene serving; yields (scene_name, labels)."""
+        """Pipelined multi-scene serving; yields (scene_name, labels).
+
+        Uploads run in a prefetch thread while the main thread drives
+        device compute and fetches, ``pipeline_depth`` scenes in flight."""
         from collections import deque
 
+        from pointcloud_segmentation_attention_tpu.data.pipeline import (
+            prefetch,
+        )
+
+        staged = prefetch((self._stage(s) for s in scenes),
+                          depth=self.pipeline_depth)
         pending = deque()
-        for scene in scenes:
-            pending.append(self._launch(scene))
+        for st in staged:
+            pending.append(self._compute(st))
             if len(pending) > self.pipeline_depth:
                 name, n, acc = pending.popleft()
                 yield name, np.asarray(acc)[:n].astype(np.int32)
