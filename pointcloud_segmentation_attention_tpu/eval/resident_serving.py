@@ -313,7 +313,7 @@ def _decode_scene_jnp(buf, layout: SceneLayout):
 
 
 def make_scene_chunker(layout: SceneLayout, x_cap: int, npoints: int,
-                       seed: int = 0):
+                       seed: int = 0, jit: bool = True):
     """jit ``(scene_buf u8, n) -> (idx (x_cap, npoints) i32,
     mask (x_cap, npoints) bool, n_chunks i32)`` — the full-coverage grid
     chunker as ONE device program (two sorts + cumsums; no host round trip).
@@ -445,7 +445,7 @@ def make_scene_chunker(layout: SceneLayout, x_cap: int, npoints: int,
         out_mask = real & ((got & 1) == 1) & in_chunks
         return (out_pid, out_mask, n_chunks.astype(jnp.int32))
 
-    return jax.jit(chunker)
+    return jax.jit(chunker) if jit else chunker
 
 
 def _hash32_jnp(pid, seed: int):
@@ -457,7 +457,7 @@ def _hash32_jnp(pid, seed: int):
 
 
 def make_resident_predict_step(state, layout: SceneLayout, batch_size: int,
-                               npoints: int):
+                               npoints: int, jit: bool = True):
     """jit ``(scene_buf, idx (B, npoints)) -> (B, npoints) u8 labels``:
     gather the chunk batch from the resident buffer, predict, argmax."""
     import jax
@@ -479,10 +479,10 @@ def make_resident_predict_step(state, layout: SceneLayout, batch_size: int,
         logits = st.apply_fn(variables, pts, feats, train=False)
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-    return jax.jit(step)
+    return jax.jit(step) if jit else step
 
 
-def make_stitch(n_pad: int, x_cap: int, npoints: int):
+def make_stitch(n_pad: int, x_cap: int, npoints: int, jit: bool = True):
     """jit ``(labels (x_cap, npoints) u8, idx, mask) -> (n_pad,) u8``: the
     device ``map_back``.  Every vertex is mask-True exactly once, so ONE
     stable sort by ``where(mask, idx, sentinel)`` places vertex v's label at
@@ -497,7 +497,37 @@ def make_stitch(n_pad: int, x_cap: int, npoints: int):
         _, lab_s = lax.sort((key, labels.reshape(-1)), num_keys=1)
         return lab_s[:n_pad]
 
-    return jax.jit(stitch)
+    return jax.jit(stitch) if jit else stitch
+
+
+def make_scene_program(state, layout: SceneLayout, x_cap: int, nb: int,
+                       batch_size: int, npoints: int, seed: int = 0):
+    """jit ``(scene_buf u8, n) -> (n_pad,) u8``: the WHOLE per-scene
+    pipeline — grid chunker, ``nb`` predict batches (``lax.map``), stitch —
+    as ONE compiled program.  One dispatch per scene: the split-program
+    path paid ~12 tunnel dispatches per scene (each re-marshalling the
+    state tree), which serialized into the scene rate."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    chunker = make_scene_chunker(layout, x_cap, npoints, seed, jit=False)
+    predict = make_resident_predict_step(state, layout, batch_size,
+                                         npoints, jit=False)
+    stitch = make_stitch(layout.n_pad, x_cap, npoints, jit=False)
+
+    def program(st, buf, n):
+        idx, mask, _ = chunker(buf, n)
+        batches = idx[:nb * batch_size].reshape(nb, batch_size, npoints)
+        labs = lax.map(lambda ib: predict(st, buf, ib), batches)
+        labs = labs.reshape(nb * batch_size, npoints)
+        if nb * batch_size < x_cap:
+            labs = jnp.concatenate([
+                labs, jnp.zeros((x_cap - nb * batch_size, npoints),
+                                jnp.uint8)])
+        return stitch(labs, idx, mask)
+
+    return jax.jit(program)
 
 
 # ---------------------------------------------------------------------------
@@ -533,6 +563,7 @@ class ResidentSceneServer:
         self.pipeline_depth = pipeline_depth
         self._chunkers = {}
         self._steps = {}
+        self._programs = {}
 
     def _n_pad(self, n: int) -> int:
         # Linear buckets: padding waste is bounded by pad_multiple points
@@ -587,21 +618,17 @@ class ResidentSceneServer:
                 _bucket(x, 4 * self.batch_size), x, jax.device_put(buf))
 
     def _compute(self, staged):
-        """Enqueue one staged scene's device pipeline; returns (name, n,
-        device label buffer) without synchronizing."""
-        import jax.numpy as jnp
-
+        """Enqueue one staged scene's device pipeline (ONE program
+        dispatch); returns (name, n, device label buffer) without
+        synchronizing."""
         name, n, n_pad, x_cap, x, dbuf = staged
-        chunker, stitch, step = self._get_programs(n_pad, x_cap)
-        idx, mask, _ = chunker(dbuf, n)
         nb = -(-x // self.batch_size)
-        labs = [step(self.state, dbuf, idx[b * self.batch_size:
-                                           (b + 1) * self.batch_size])
-                for b in range(nb)]
-        if nb * self.batch_size < x_cap:
-            labs.append(jnp.zeros(
-                (x_cap - nb * self.batch_size, self.npoints), jnp.uint8))
-        acc = stitch(jnp.concatenate(labs, axis=0), idx, mask)
+        pk = (n_pad, x_cap, nb)
+        if pk not in self._programs:
+            self._programs[pk] = make_scene_program(
+                self.state, self._layout(n_pad), x_cap, nb,
+                self.batch_size, self.npoints, self.seed)
+        acc = self._programs[pk](self.state, dbuf, n)
         try:  # overlap D2H with the next scene's compute
             acc.copy_to_host_async()
         except AttributeError:
