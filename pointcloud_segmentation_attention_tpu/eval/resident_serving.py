@@ -663,3 +663,61 @@ class ResidentSceneServer:
         while pending:
             name, n, acc = pending.popleft()
             yield name, np.asarray(acc)[:n].astype(np.int32)
+
+
+def generate_predictions_resident(
+    state,
+    data_root: str,
+    scene_names,
+    output_dir: str,
+    npoints: int = 8192,
+    batch_size: int = 16,
+    layout: str = "q16",
+    use_colors: bool = True,
+    use_normals: bool = True,
+    with_labels: bool = True,
+    save_npy: bool = True,
+    seed: int = 0,
+):
+    """Resident-path twin of ``eval.full_scene.generate_predictions``
+    (ref ``benchmark/generate_predictions.py:151-186``): predict every
+    scene through ``ResidentSceneServer`` and write the same artifacts
+    (per-scene npy + ScanNet-benchmark txt).  Yields per-scene dicts."""
+    import os
+
+    from pointcloud_segmentation_attention_tpu.data.scannet.scenes import (
+        load_scene_mapped,
+    )
+    from pointcloud_segmentation_attention_tpu.eval.benchmark import (
+        export_benchmark_txt,
+    )
+
+    os.makedirs(output_dir, exist_ok=True)
+    server = ResidentSceneServer(
+        state, npoints, batch_size=batch_size, layout=layout, seed=seed,
+        use_colors=use_colors, use_normals=use_normals)
+    scenes = []
+
+    def stream():
+        for name in scene_names:
+            sc = load_scene_mapped(data_root, name)
+            sc["scene_name"] = name
+            scenes.append(sc)
+            yield sc
+
+    for name, pred in server.predict_scenes(stream()):
+        scene = next(s for s in scenes if s["scene_name"] == name)
+        if save_npy:
+            np.save(os.path.join(output_dir, f"{name}_points.npy"),
+                    scene["points"])
+            np.save(os.path.join(output_dir, f"{name}_labels.npy"), pred)
+            if with_labels:
+                np.save(os.path.join(output_dir, f"{name}_gt.npy"),
+                        scene["labels"])
+        export_benchmark_txt(os.path.join(output_dir, f"{name}.txt"), pred)
+        scenes.remove(scene)
+        yield {
+            "scene_name": name,
+            "predictions": pred,
+            "labels": scene["labels"] if with_labels else None,
+        }

@@ -161,6 +161,34 @@ def test_scene_layout_roundtrip():
                                atol=1e-6)
 
 
+def test_generate_predictions_resident(tmp_path):
+    """The resident twin of generate_predictions writes the same artifact
+    set (npy + benchmark txt) for every scene."""
+    import os
+
+    from pointcloud_segmentation_attention_tpu.data.scannet import (
+        read_split, write_synthetic_dataset,
+    )
+    from pointcloud_segmentation_attention_tpu.eval.resident_serving import (
+        generate_predictions_resident,
+    )
+
+    root = str(tmp_path / "scannet")
+    write_synthetic_dataset(root, n_train=0, n_val=2, n_test=0,
+                            n_points=2000)
+    val = read_split(os.path.join(root, "splits"), "val")
+    state = _tiny_state(128)
+    out_dir = str(tmp_path / "preds")
+    results = list(generate_predictions_resident(
+        state, root, val, out_dir, npoints=128, batch_size=4))
+    assert {r["scene_name"] for r in results} == set(val)
+    for name in val:
+        assert os.path.exists(os.path.join(out_dir, f"{name}.txt"))
+        assert os.path.exists(os.path.join(out_dir, f"{name}_labels.npy"))
+        labels = np.load(os.path.join(out_dir, f"{name}_labels.npy"))
+        assert labels.shape == (2000,)
+
+
 def test_pipelined_multi_scene():
     npoints = 256
     state = _tiny_state(npoints)
