@@ -96,6 +96,31 @@ def test_sampler_input_mode_trains_with_val(tmp_path):
     assert s2["final_step"] > 1
 
 
+def test_resident_input_mode_default_wire(tmp_path):
+    """input='resident' with the default (non-packed) wire_format silently
+    upgrades to the q16 record layout and trains."""
+    data_root = str(tmp_path / "scannet")
+    splits = sc.write_synthetic_dataset(data_root, n_train=2, n_val=1,
+                                        n_test=0, n_points=4000)
+    pre = str(tmp_path / "chunks")
+    sc.precompute.precompute_train_chunks(data_root, splits["train"], pre,
+                                          epochs=1, npoints=128)
+    sc.precompute.precompute_val_chunks(data_root, splits["val"], pre,
+                                        npoints=128)
+    from pointcloud_segmentation_attention_tpu.train import trainer
+
+    cfg = TrainConfig(
+        data_root=data_root, model="sem_seg_features", input="resident",
+        precompute_dir=pre, log_dir=str(tmp_path / "logs"), batch_size=2,
+        n_points=128, epochs=1, n_epochs_to_val=1, n_devices=2,
+        model_overrides=_TINY_HIERARCHY,
+    )
+    s = trainer.train(cfg, max_steps=2)
+    assert s["final_step"] == 2
+    assert os.path.exists(os.path.join(pre, "pack_q16_c1n1_p128",
+                                       "meta.json"))
+
+
 def test_input_mode_resolution_and_conflicts():
     from pointcloud_segmentation_attention_tpu.train.trainer import (
         resolve_input_mode,
