@@ -51,3 +51,26 @@ def test_synthetic_convergence_end_to_end(tmp_path):
     # The pipeline wrote its artifacts.
     assert os.path.exists(tmp_path / "results.txt")
     assert json.load(open(tmp_path / "results.json"))["final_step"] == 150
+
+
+@pytest.mark.slow
+def test_diversity_matched_recipe_smoke(tmp_path):
+    """The matched-cost sampling-vs-replay recipe runs end to end on a tiny
+    wall budget: both arms train under the SAME budget (the replay arm's
+    precompute pass included), both produce finite offline mIoUs."""
+    from pointcloud_segmentation_attention_tpu.recipes.diversity_matched import (
+        run_diversity_matched,
+    )
+
+    out = run_diversity_matched(
+        str(tmp_path), budget_s=240.0, n_train_scenes=2, n_val_scenes=1,
+        scene_points=4000, n_points=128, batch_size=2, replay_epochs=2,
+        n_devices=2)
+    assert set(out["arms"]) == {"sampler", "replay_deep"}
+    for arm in out["arms"].values():
+        assert np.isfinite(arm["offline_mean_iou"])
+        assert arm["steps"] >= 1
+    # The replay arm's precompute cost is recorded (charged against its
+    # budget); at this toy size it rounds to ~0 s.
+    assert out["arms"]["replay_deep"]["precompute_s"] >= 0
+    assert out["arms"]["sampler"]["precompute_s"] == 0.0
