@@ -7,13 +7,18 @@ scene crosses the link ONCE, as a single packed u8 buffer (q16: 12 B/point),
 and everything else happens on device:
 
 - the full-coverage grid chunker (the TPU twin of
-  ``chunks.full_scene_chunks`` / ref ``complete_scene_loader.py:4-117``)
-  runs as one jitted program of sorts/cumsums — no host round trip,
-- chunk batches gather their points/features from the resident buffer,
-- predictions argmax on device and scatter straight into a per-VERTEX label
-  buffer (the device twin of ``chunks.map_back`` /
-  ref ``generate_predictions.py:19-37``),
-- one (num_vertices,) u8 fetch returns the stitched scene.
+  ``chunks.full_scene_chunks`` / ref ``complete_scene_loader.py:4-117``):
+  ONE lexicographic sort groups the (cell, hash, point) membership
+  entries, a top_k extracts the kept-cell table, and tiny table arithmetic
+  + one gather invert slots to points — no host round trip, no scatter,
+- chunk batches gather their points/features from the resident buffer and
+  predict under ``lax.map``,
+- argmaxed labels stitch back to vertex order by one stable sort (every
+  vertex is mask-True exactly once, so sorting by masked vertex id IS
+  ``chunks.map_back`` / ref ``generate_predictions.py:19-37``),
+- all of the above compiles into a SINGLE program per scene-size bucket
+  (``make_scene_program``) — one dispatch, one upload, one
+  (num_vertices,) u8 fetch per scene.
 
 Chunk composition is DETERMINISTIC (a keyed integer hash replaces the host
 chunker's ``rng.permutation``, modulo-fill replaces its random tail fill) and
