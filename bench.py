@@ -397,8 +397,11 @@ def measure_end_to_end_resident(b=16, n=8192, warmup=110, iters=200,
     return iters * b * n / dt
 
 
-def measure_scaling(b_per_chip=16, n=8192, device_counts=None, warmup=20,
-                    iters=40, model_kwargs=None):
+def measure_scaling(b_per_chip=16, n=8192, device_counts=None, warmup=120,
+                    iters=60, model_kwargs=None):
+    # warmup 120: the donated-state step has a secondary donation-layout
+    # compile around step ~100 — a short warmup times that compile and
+    # once recorded a 3.84M "scaling" row next to a 6.2M device step.
     """Weak-scaling sweep: per-chip batch fixed, global batch grows with the
     mesh.  Returns [{n_devices, points_per_sec, points_per_sec_per_chip,
     efficiency}] with efficiency relative to the 1-device per-chip rate."""
