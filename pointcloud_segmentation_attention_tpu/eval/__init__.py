@@ -3,6 +3,11 @@ from pointcloud_segmentation_attention_tpu.eval.full_scene import (
     generate_predictions,
     predict_scene_chunks,
 )
+from pointcloud_segmentation_attention_tpu.eval.resident_serving import (
+    ResidentSceneServer,
+    deterministic_scene_chunks,
+    generate_predictions_resident,
+)
 from pointcloud_segmentation_attention_tpu.eval.benchmark import (
     CLASS_LABELS,
     VALID_CLASS_IDS,
@@ -28,6 +33,8 @@ from pointcloud_segmentation_attention_tpu.eval.part_iou import (
 
 __all__ = [
     "generate_predictions", "predict_scene_chunks",
+    "ResidentSceneServer", "deterministic_scene_chunks",
+    "generate_predictions_resident",
     "CLASS_LABELS", "VALID_CLASS_IDS", "evaluate", "export_benchmark_txt",
     "export_groundtruth_from_json", "export_ids", "load_ids",
     "map_to_nyu40_for_benchmark",
