@@ -67,7 +67,9 @@ ids = jnp.asarray(rng.randint(0, 8, (16,)).astype(np.int32))
 key = jax.random.PRNGKey(1)
 for occ in ("fast", "exact"):
     step = make_sampling_train_step(scenes, 8192, occupancy=occ)
-    st = state
+    # Fresh state per variant: the step donates its state argument, so
+    # reusing one template across variants dies on a deleted buffer.
+    st, _ = bench._make_state_and_batch(16, 8192)
     st, m = step(st, ids, key)
     float(m["loss"])
     for _ in range(40):
