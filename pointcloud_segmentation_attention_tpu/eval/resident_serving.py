@@ -54,10 +54,13 @@ def _hash32(pid, seed: int):
 
 
 def _grid_dims(xy: np.ndarray) -> Tuple[np.ndarray, int, int]:
+    # f32 division to match the device chunker's grid arithmetic exactly
+    # (a f64 host division could round ceil() differently on extents that
+    # are near-multiples of the cell size).
     mn = xy.min(axis=0)
-    ext = xy.max(axis=0) - mn
-    ncx = max(1, int(np.ceil(float(ext[0]) / CHUNK_SIZE)))
-    ncy = max(1, int(np.ceil(float(ext[1]) / CHUNK_SIZE)))
+    ext = (xy.max(axis=0) - mn).astype(np.float32)
+    ncx = max(1, int(np.ceil(ext[0] / np.float32(CHUNK_SIZE))))
+    ncy = max(1, int(np.ceil(ext[1] / np.float32(CHUNK_SIZE))))
     return mn, ncx, ncy
 
 
@@ -72,18 +75,25 @@ def _memberships_np(xy: np.ndarray, mn, ncx: int, ncy: int):
     home = np.maximum(home, 0)
     home_id = home[:, 0] * ncy + home[:, 1]
     cxs, cys, members = [], [], []
+    # Box arithmetic in f32 with the SAME op order as the device chunker
+    # (cast-int * size - margin, then + width): host and device margin
+    # boundaries are then bit-identical, so membership (and chunk_count)
+    # cannot disagree with the device by a boundary ulp.
+    chunk_f = np.float32(CHUNK_SIZE)
+    margin_f = np.float32(CONTEXT_MARGIN)
+    width_f = np.float32(CHUNK_SIZE + 2 * CONTEXT_MARGIN)
     for dx in (0, 1):
         for dy in (0, 1):
             cx = lo[:, 0] + dx
             cy = lo[:, 1] + dy
-            box_lo_x = cx * CHUNK_SIZE - CONTEXT_MARGIN
-            box_lo_y = cy * CHUNK_SIZE - CONTEXT_MARGIN
+            box_lo_x = cx.astype(np.float32) * chunk_f - margin_f
+            box_lo_y = cy.astype(np.float32) * chunk_f - margin_f
             member = (
                 (cx >= 0) & (cx < ncx) & (cy >= 0) & (cy < ncy)
                 & (rel[:, 0] >= box_lo_x)
-                & (rel[:, 0] < box_lo_x + CHUNK_SIZE + 2 * CONTEXT_MARGIN)
+                & (rel[:, 0] < box_lo_x + width_f)
                 & (rel[:, 1] >= box_lo_y)
-                & (rel[:, 1] < box_lo_y + CHUNK_SIZE + 2 * CONTEXT_MARGIN)
+                & (rel[:, 1] < box_lo_y + width_f)
             )
             cxs.append(cx)
             cys.append(cy)
@@ -522,7 +532,7 @@ def make_scene_program(state, layout: SceneLayout, x_cap: int, nb: int,
     stitch = make_stitch(layout.n_pad, x_cap, npoints, jit=False)
 
     def program(st, buf, n):
-        idx, mask, _ = chunker(buf, n)
+        idx, mask, n_chunks = chunker(buf, n)
         batches = idx[:nb * batch_size].reshape(nb, batch_size, npoints)
         labs = lax.map(lambda ib: predict(st, buf, ib), batches)
         labs = labs.reshape(nb * batch_size, npoints)
@@ -530,7 +540,11 @@ def make_scene_program(state, layout: SceneLayout, x_cap: int, nb: int,
             labs = jnp.concatenate([
                 labs, jnp.zeros((x_cap - nb * batch_size, npoints),
                                 jnp.uint8)])
-        return stitch(labs, idx, mask)
+        # n_chunks rides back with the labels so the host can assert the
+        # scheduled nb * batch_size really covered every device chunk (the
+        # q16 one-batch slack is a heuristic; exceeding it must fail loudly,
+        # not stitch label 0 into the surplus chunks' home vertices).
+        return stitch(labs, idx, mask), n_chunks
 
     return jax.jit(program)
 
@@ -633,18 +647,31 @@ class ResidentSceneServer:
             self._programs[pk] = make_scene_program(
                 self.state, self._layout(n_pad), x_cap, nb,
                 self.batch_size, self.npoints, self.seed)
-        acc = self._programs[pk](self.state, dbuf, n)
+        acc, n_chunks = self._programs[pk](self.state, dbuf, n)
         try:  # overlap D2H with the next scene's compute
             acc.copy_to_host_async()
         except AttributeError:
             pass
-        return name, n, acc
+        return name, n, acc, n_chunks, nb * self.batch_size
+
+    def _fetch(self, computed) -> Tuple[str, np.ndarray]:
+        """Sync one computed scene; the per-scene guard that the scheduled
+        predict batches covered every device chunk lives HERE (the existing
+        sync point) so it costs no extra round trip."""
+        name, n, acc, n_chunks, cap = computed
+        nc = int(n_chunks)
+        if nc > cap:
+            raise RuntimeError(
+                f"device chunker produced {nc} chunks for scene {name!r} "
+                f"but only {cap} predict slots were scheduled — the q16 "
+                "host/device chunk-count slack was exceeded; raise the "
+                "slack in ResidentSceneServer._stage")
+        return name, np.asarray(acc)[:n].astype(np.int32)
 
     def predict_scene(self, scene: Dict[str, np.ndarray]) -> np.ndarray:
         """points (N,3) [+ colors u8 / normals f32] -> per-vertex labels
         (N,) int32."""
-        _, n, acc = self._compute(self._stage(scene))
-        return np.asarray(acc)[:n].astype(np.int32)
+        return self._fetch(self._compute(self._stage(scene)))[1]
 
     def predict_scenes(self, scenes) -> Iterator[Tuple[str, np.ndarray]]:
         """Pipelined multi-scene serving; yields (scene_name, labels).
@@ -663,11 +690,9 @@ class ResidentSceneServer:
         for st in staged:
             pending.append(self._compute(st))
             if len(pending) > self.pipeline_depth:
-                name, n, acc = pending.popleft()
-                yield name, np.asarray(acc)[:n].astype(np.int32)
+                yield self._fetch(pending.popleft())
         while pending:
-            name, n, acc = pending.popleft()
-            yield name, np.asarray(acc)[:n].astype(np.int32)
+            yield self._fetch(pending.popleft())
 
 
 def generate_predictions_resident(

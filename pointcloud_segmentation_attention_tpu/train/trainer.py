@@ -87,6 +87,11 @@ def resolve_input_mode(config: TrainConfig) -> str:
             "packed/resident record paths)")
     if mode == "sampler" and config.device_replay:
         raise ValueError("input='sampler' and device_replay are exclusive")
+    if mode in ("npz", "packed") and config.device_replay:
+        raise ValueError(
+            f"input='{mode}' ships batches from host but device_replay=True "
+            "requests the HBM-resident corpus — use input='resident' (or "
+            "'auto'), or drop device_replay")
     return mode
 
 

@@ -55,5 +55,7 @@ def test_serving_resident_harness_runs():
 
 def test_link_fit_harness_runs():
     fit = bench.measure_link()
-    assert fit["latency_ms"] >= 0 or True  # fit can be noisy on CPU
+    # CPU timing noise can push the fitted intercept slightly negative, but
+    # it must at least be a finite number.
+    assert np.isfinite(fit["latency_ms"])
     assert "degraded" in fit and "bandwidth_mb_per_s" in fit
