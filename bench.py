@@ -302,16 +302,23 @@ def measure_inference_e2e(b=16, n=8192, warmup=10, iters=20, reps=3,
 
 def measure_serving_resident(n=8192, batch_size=16, n_scenes=4,
                              scene_points=160000, warmup_scenes=2, reps=3,
-                             layout="q16", model_kwargs=None):
+                             layout="q16", model_kwargs=None,
+                             link_fit=None, inference_pps=None):
     """Resident-scene serving rate: ONE packed q16 upload per scene, grid
     chunker + prediction + stitch all on device, one (num_vertices,) u8
     fetch per scene (eval/resident_serving.py — VERDICT r3 #1).
 
-    Returns (median vertex-labels/sec, samples, chunk-slots/sec): the first
-    is the honest serving metric (vertices labeled per wall second, host
-    pack + link + device compute included); slots/sec counts every
-    predicted chunk point like the per-chunk-shipping ``serving_e2e``
-    metrics, for apples-to-apples comparison with them."""
+    Returns (median vertex-labels/sec, samples, chunk-slots/sec,
+    expected-from-link): the first is the honest serving metric (vertices
+    labeled per wall second, host pack + link + device compute included);
+    slots/sec counts every predicted chunk point like the per-chunk-shipping
+    ``serving_e2e`` metrics, for apples-to-apples comparison with them.
+
+    ``expected-from-link`` (needs ``link_fit`` + ``inference_pps``) is the
+    rate THIS run's link weather predicts for the serialized per-scene
+    pipeline — 2 RTTs + (12 B/pt up + 1 B/pt down)/bandwidth + predict
+    compute — so a low sample is decidable as weather (matches expected)
+    vs regression (falls below it) from the JSON alone (VERDICT r4 #7)."""
     from pointcloud_segmentation_attention_tpu.eval.resident_serving import (
         ResidentSceneServer, chunk_count,
     )
@@ -347,7 +354,29 @@ def measure_serving_resident(n=8192, batch_size=16, n_scenes=4,
         return n_scenes * scene_points / dt
 
     med, samples = _median_windows(window, 0, reps)
-    return med, samples, round(med * slots / (n_scenes * scene_points), 1)
+    # Scene-per-device mesh serving (eval/resident_serving.py mesh path)
+    # scales this per-device rate by the device count with zero
+    # collectives; on the 1-chip bench per-device == total.
+    scenes_per_sec_per_device = round(med / scene_points, 3)
+    expected = None
+    if link_fit and inference_pps:
+        # Serialized per-scene model (this tunnel does not overlap client
+        # RPCs, docs/performance.md): upload RTT + wire, program compute
+        # (predict dominates; chunker+stitch ~25 ms lumped into the slot
+        # rate), fetch RTT + wire.  n_pad padding is uploaded too.
+        n_pad = -(-scene_points // 16384) * 16384
+        lat = link_fit["latency_ms"] / 1e3
+        bw = link_fit["bandwidth_mb_per_s"] * 2**20
+        t_scene = (2 * lat + (12.0 * n_pad + 1.0 * n_pad) / bw
+                   + (slots / n_scenes) / inference_pps)
+        expected = round(scene_points / t_scene, 1)
+    fields = {
+        "slots_per_sec": round(med * slots / (n_scenes * scene_points), 1),
+        "scenes_per_sec_per_device": scenes_per_sec_per_device,
+    }
+    if expected is not None:
+        fields["expected_from_link"] = expected
+    return med, samples, fields
 
 
 def measure_end_to_end_resident(b=16, n=8192, warmup=110, iters=200,
@@ -509,7 +538,10 @@ def run_bench(model="sem_seg_features", quick=False):
             return
         extras[key] = round(out[0], 1)
         extras[f"{key}_samples"] = out[1]
-        if len(out) > 2:
+        if len(out) > 2 and isinstance(out[2], dict):
+            for k, v in out[2].items():
+                extras[f"{key}_{k}"] = v
+        elif len(out) > 2 and out[2] is not None:
             extras[f"{key}_slots_per_sec"] = out[2]
 
     # Link weather, measured before and after the link-bound extras: a
@@ -531,7 +563,8 @@ def run_bench(model="sem_seg_features", quick=False):
     extra_median("serving_e2e_packed_q16", measure_inference_e2e, b, n,
                  reps=5, wire="packed_q16")
     extra_median("serving_resident", measure_serving_resident, n,
-                 batch_size=b)
+                 batch_size=b, link_fit=extras.get("link"),
+                 inference_pps=extras.get("inference"))
     # Achieved wire rate per link-bound metric (points/sec x bytes/point):
     # directly comparable to the bracketing link fits, so a weather-hit
     # number is self-explaining — if the achieved MB/s matches the hour's
@@ -543,6 +576,26 @@ def run_bench(model="sem_seg_features", quick=False):
         if extras.get(key):
             extras[f"{key}_wire_mb_per_s"] = round(
                 extras[key] * bpp / 2**20, 1)
+    # Expected-from-link for the per-step wire paths (VERDICT r4 #7): what
+    # THIS run's link fit + device rates predict, so every reader (and the
+    # JSON alone) can decide weather vs regression without re-deriving.
+    link = extras.get("link")
+    if link:
+        bw = link["bandwidth_mb_per_s"] * 2**20
+        lat = link["latency_ms"] / 1e3
+        pts = b * n
+        if device_pps:
+            # Training: H2D rides a prefetch thread, so the step is bound
+            # by the slower of wire drain and device compute.
+            t = max(pts * 14.0 / bw, pts / device_pps)
+            extras["end_to_end_packed_q16_expected_from_link"] = round(
+                pts / t, 1)
+        if extras.get("inference"):
+            # Serving per batch: upload + predict + label fetch serialize
+            # on the per-batch result sync (one RTT).
+            t = lat + pts * 15.0 / bw + pts / extras["inference"]
+            extras["serving_e2e_packed_q16_expected_from_link"] = round(
+                pts / t, 1)
     extras["link_after"] = guard("link_after", measure_link)
     link_degraded = any(
         bool(f and f.get("degraded"))

@@ -33,6 +33,10 @@ from pointcloud_segmentation_attention_tpu.data.scannet.label_map import (
 
 CHUNK_SIZE = 1.5       # xy extent of a chunk/cell in meters (ref :98)
 CONTEXT_MARGIN = 0.2   # context padding around the inner box (ref :99)
+# Both are DEFAULTS, not constants: every chunker below takes
+# ``chunk_size``/``margin`` overrides so the reference's context-margin
+# ablation (Report.pdf Table 4: margin 0 vs 0.2 is its +2.7-pt headline
+# mechanism, ref complete_scene_loader.py:31-42) is a knob, not a fork.
 MIN_LABELED_FRACTION = 0.7    # validity: fraction of annotated points (ref :120)
 MIN_VOXEL_OCCUPANCY = 0.02    # validity: occupied voxel fraction (ref :127-138)
 OCCUPANCY_GRID = (31, 31, 62)  # validity voxel grid (ref :127)
@@ -63,6 +67,8 @@ def sample_random_chunk(
     npoints: int,
     rng: np.random.RandomState,
     weight_table: Optional[np.ndarray] = None,
+    chunk_size: float = CHUNK_SIZE,
+    margin: float = CONTEXT_MARGIN,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], Optional[np.ndarray], np.ndarray]:
     """Random training cuboid (ref data_transformation.py:70-154).
 
@@ -73,14 +79,13 @@ def sample_random_chunk(
     if weight_table is None:
         weight_table = TRAIN_LABEL_WEIGHTS
     xy = points[:, :2]
-    half = CHUNK_SIZE / 2.0
+    half = chunk_size / 2.0
     sel = None
     inner = None
     for _ in range(MAX_TRIES):
         center = xy[rng.randint(len(points))]
         lo, hi = center - half, center + half
-        cand = np.flatnonzero(_points_in_box(xy, lo - CONTEXT_MARGIN,
-                                             hi + CONTEXT_MARGIN))
+        cand = np.flatnonzero(_points_in_box(xy, lo - margin, hi + margin))
         if len(cand) == 0:
             continue
         sel = cand
@@ -130,6 +135,8 @@ def full_scene_chunks(
     npoints: int,
     rng: np.random.RandomState,
     weight_table: Optional[np.ndarray] = None,
+    chunk_size: float = CHUNK_SIZE,
+    margin: float = CONTEXT_MARGIN,
 ) -> ChunkSet:
     """Full-coverage grid chunks with context margins
     (ref complete_scene_loader.py:4-117).
@@ -145,13 +152,13 @@ def full_scene_chunks(
     # (cell, point) membership pairs for margin-enlarged cells — O(N) in C++
     # (numpy fallback inside), replacing an O(cells x N) box scan.
     cells, pids, ncx, ncy = native.grid_chunk_assign(
-        points, cell=CHUNK_SIZE, margin=CONTEXT_MARGIN
+        points, cell=chunk_size, margin=margin
     )
     # Home cell of every point (exact partition; boundary points clip into
     # the last cell, which the margin-enlarged enumeration always contains).
     xy_min = xy.min(axis=0)
     home = np.minimum(
-        (xy - xy_min) // CHUNK_SIZE, [ncx - 1, ncy - 1]
+        (xy - xy_min) // chunk_size, [ncx - 1, ncy - 1]
     ).astype(np.int64)
     home_id = home[:, 0] * ncy + home[:, 1]
 
@@ -216,13 +223,16 @@ def grid_chunks_for_eval(
     normals: np.ndarray,
     npoints: int,
     rng: Optional[np.random.RandomState] = None,
+    chunk_size: float = CHUNK_SIZE,
+    margin: float = CONTEXT_MARGIN,
 ) -> Dict[str, np.ndarray]:
     """Validation chunks: the full-coverage grid chunker packaged as the
     train-batch dict layout (ref precompute_dataset.py:49-78 precomputed the
     val set with the same subset machinery)."""
     rng = rng if rng is not None else np.random.RandomState(0)
     cs = full_scene_chunks(points, [labels, colors, normals],
-                           get_sample_weights=True, npoints=npoints, rng=rng)
+                           get_sample_weights=True, npoints=npoints, rng=rng,
+                           chunk_size=chunk_size, margin=margin)
     return {
         "points": cs.points,
         "labels": cs.features[0].astype(np.int32),

@@ -70,7 +70,8 @@ def write_split(split_dir: str, split: str, names: Sequence[str]) -> None:
 
 
 def make_synthetic_scene(n_points: int = 20000, seed: int = 0,
-                         color_coded: bool = False) -> Dict[str, np.ndarray]:
+                         color_coded: bool = False,
+                         geometry_coded: bool = False) -> Dict[str, np.ndarray]:
     """A room-like labeled scene for tests/benchmarks (in ScanNet units:
     meters; extent ~6 x 5 x 2.6 m).  Labels are COMPACT [0, 20] ids; ~85 % of
     points are annotated so the chunk sampler's >=70 %-labeled validity check
@@ -83,6 +84,13 @@ def make_synthetic_scene(n_points: int = 20000, seed: int = 0,
     convergence-harness analogue of real ScanNet's color/normal signal.
     Blob labels/positions are random per seed, so without the feature signal
     held-out blob classes are unpredictable.
+
+    ``geometry_coded=True`` instead makes blob labels predictable from
+    GEOMETRY alone: a blob's height above floor and its point spread are
+    deterministic functions of its label, so xyz-only models (the Table 1
+    attention-ablation arms train without features, ref
+    pointnet2_sem_seg_attention.py:24) can discriminate held-out blobs —
+    floor/wall stay geometric as always.
     """
     rng = np.random.RandomState(seed)
     extent = np.array([6.0, 5.0, 2.6], np.float32)
@@ -97,7 +105,15 @@ def make_synthetic_scene(n_points: int = 20000, seed: int = 0,
     centers = rng.uniform([0.5, 0.5, 0.0], extent - [0.5, 0.5, 0.8], (n_blobs, 3))
     blob_labels = rng.randint(3, 21, n_blobs)
     blob_id = rng.randint(0, n_blobs, n_obj)
-    obj = centers[blob_id] + rng.randn(n_obj, 3) * 0.3
+    if geometry_coded:
+        # Label -> (center height, cluster spread): two independent
+        # geometric cues a point network can read from local structure.
+        centers = centers.copy()
+        centers[:, 2] = 0.15 + 0.085 * (blob_labels - 3)
+        sigma = (0.10 + 0.014 * (blob_labels - 3)).astype(np.float32)
+        obj = centers[blob_id] + rng.randn(n_obj, 3) * sigma[blob_id, None]
+    else:
+        obj = centers[blob_id] + rng.randn(n_obj, 3) * 0.3
 
     points = np.concatenate([floor, wall, obj]).astype(np.float32)
     labels = np.concatenate([
@@ -143,18 +159,20 @@ def write_synthetic_dataset(
     n_points: int = 20000,
     seed: int = 0,
     color_coded: bool = False,
+    geometry_coded: bool = False,
 ) -> Dict[str, List[str]]:
     """Write a miniature ScanNet-layout dataset; labels are stored raw (NYU40)
     like the real preprocessing output.  Returns the split name lists.
-    ``color_coded`` makes labels learnable from features (see
-    ``make_synthetic_scene``)."""
+    ``color_coded`` makes labels learnable from features,
+    ``geometry_coded`` from xyz alone (see ``make_synthetic_scene``)."""
     splits: Dict[str, List[str]] = {"train": [], "val": [], "test": []}
     i = 0
     for split, count in (("train", n_train), ("val", n_val), ("test", n_test)):
         for _ in range(count):
             name = f"scene{i:04d}_00"
             scene = make_synthetic_scene(n_points, seed=seed + i,
-                                         color_coded=color_coded)
+                                         color_coded=color_coded,
+                                         geometry_coded=geometry_coded)
             raw = dict(scene)
             raw["labels"] = map_to_nyu40(scene["labels"]).astype(np.int32)
             save_scene(data_root, name, raw)

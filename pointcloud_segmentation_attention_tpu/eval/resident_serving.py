@@ -53,24 +53,27 @@ def _hash32(pid, seed: int):
     return h ^ (h >> np.uint32(16))
 
 
-def _grid_dims(xy: np.ndarray) -> Tuple[np.ndarray, int, int]:
+def _grid_dims(xy: np.ndarray, chunk_size: float = CHUNK_SIZE,
+               ) -> Tuple[np.ndarray, int, int]:
     # f32 division to match the device chunker's grid arithmetic exactly
     # (a f64 host division could round ceil() differently on extents that
     # are near-multiples of the cell size).
     mn = xy.min(axis=0)
     ext = (xy.max(axis=0) - mn).astype(np.float32)
-    ncx = max(1, int(np.ceil(ext[0] / np.float32(CHUNK_SIZE))))
-    ncy = max(1, int(np.ceil(ext[1] / np.float32(CHUNK_SIZE))))
+    ncx = max(1, int(np.ceil(ext[0] / np.float32(chunk_size))))
+    ncy = max(1, int(np.ceil(ext[1] / np.float32(chunk_size))))
     return mn, ncx, ncy
 
 
-def _memberships_np(xy: np.ndarray, mn, ncx: int, ncy: int):
+def _memberships_np(xy: np.ndarray, mn, ncx: int, ncy: int,
+                    chunk_size: float = CHUNK_SIZE,
+                    margin: float = CONTEXT_MARGIN):
     """(N, 4) membership enumeration: the 2x2 cells whose margin-enlarged box
     can contain the point (2*margin < cell).  Returns (cell_x, cell_y,
     member, home_id) with cell ids int64."""
     rel = xy - mn
-    lo = np.floor((rel - CONTEXT_MARGIN) / CHUNK_SIZE).astype(np.int64)
-    home = np.minimum(np.floor(rel / CHUNK_SIZE).astype(np.int64),
+    lo = np.floor((rel - margin) / chunk_size).astype(np.int64)
+    home = np.minimum(np.floor(rel / chunk_size).astype(np.int64),
                       [ncx - 1, ncy - 1])
     home = np.maximum(home, 0)
     home_id = home[:, 0] * ncy + home[:, 1]
@@ -79,9 +82,9 @@ def _memberships_np(xy: np.ndarray, mn, ncx: int, ncy: int):
     # (cast-int * size - margin, then + width): host and device margin
     # boundaries are then bit-identical, so membership (and chunk_count)
     # cannot disagree with the device by a boundary ulp.
-    chunk_f = np.float32(CHUNK_SIZE)
-    margin_f = np.float32(CONTEXT_MARGIN)
-    width_f = np.float32(CHUNK_SIZE + 2 * CONTEXT_MARGIN)
+    chunk_f = np.float32(chunk_size)
+    margin_f = np.float32(margin)
+    width_f = np.float32(chunk_size + 2 * margin)
     for dx in (0, 1):
         for dy in (0, 1):
             cx = lo[:, 0] + dx
@@ -102,14 +105,16 @@ def _memberships_np(xy: np.ndarray, mn, ncx: int, ncy: int):
     return cell_id, np.stack(members, 1), home_id
 
 
-def chunk_count(points: np.ndarray, npoints: int) -> int:
+def chunk_count(points: np.ndarray, npoints: int,
+                chunk_size: float = CHUNK_SIZE,
+                margin: float = CONTEXT_MARGIN) -> int:
     """Exact number of full-coverage chunks for a scene — cheap host-side
     metadata (bincounts, no permutation) so the serving loop knows how many
     predict steps to launch WITHOUT a device->host sync on the on-device
     chunker's output."""
-    mn, ncx, ncy = _grid_dims(points[:, :2].astype(np.float32))
+    mn, ncx, ncy = _grid_dims(points[:, :2].astype(np.float32), chunk_size)
     cell_id, member, home_id = _memberships_np(
-        points[:, :2].astype(np.float32), mn, ncx, ncy)
+        points[:, :2].astype(np.float32), mn, ncx, ncy, chunk_size, margin)
     n_cells = ncx * ncy
     member_counts = np.bincount(cell_id[member], minlength=n_cells)
     home_counts = np.bincount(home_id, minlength=n_cells)
@@ -122,6 +127,8 @@ def deterministic_scene_chunks(
     features: Sequence[np.ndarray],
     npoints: int,
     seed: int = 0,
+    chunk_size: float = CHUNK_SIZE,
+    margin: float = CONTEXT_MARGIN,
 ) -> ChunkSet:
     """Numpy twin of the DEVICE chunker: same contract as
     ``chunks.full_scene_chunks`` (every vertex mask-True exactly once) with
@@ -129,8 +136,9 @@ def deterministic_scene_chunks(
     bit-identical to ``make_scene_chunker``'s, so host-path predictions on
     these chunks equal the resident device path's."""
     xy = points[:, :2].astype(np.float32)
-    mn, ncx, ncy = _grid_dims(xy)
-    cell_id, member, home_id = _memberships_np(xy, mn, ncx, ncy)
+    mn, ncx, ncy = _grid_dims(xy, chunk_size)
+    cell_id, member, home_id = _memberships_np(xy, mn, ncx, ncy,
+                                               chunk_size, margin)
     pid = np.broadcast_to(np.arange(len(points), dtype=np.int64)[:, None],
                           cell_id.shape)
     cells_f = cell_id[member]
@@ -328,7 +336,9 @@ def _decode_scene_jnp(buf, layout: SceneLayout):
 
 
 def make_scene_chunker(layout: SceneLayout, x_cap: int, npoints: int,
-                       seed: int = 0, jit: bool = True):
+                       seed: int = 0, jit: bool = True,
+                       chunk_size: float = CHUNK_SIZE,
+                       margin: float = CONTEXT_MARGIN):
     """jit ``(scene_buf u8, n) -> (idx (x_cap, npoints) i32,
     mask (x_cap, npoints) bool, n_chunks i32)`` — the full-coverage grid
     chunker as ONE device program (two sorts + cumsums; no host round trip).
@@ -356,23 +366,23 @@ def make_scene_chunker(layout: SceneLayout, x_cap: int, npoints: int,
         mn = jnp.min(jnp.where(valid[:, None], xy, big), axis=0)
         mx = jnp.max(jnp.where(valid[:, None], xy, -big), axis=0)
         ext = mx - mn
-        ncx = jnp.maximum(jnp.ceil(ext[0] / CHUNK_SIZE), 1).astype(jnp.int32)
-        ncy = jnp.maximum(jnp.ceil(ext[1] / CHUNK_SIZE), 1).astype(jnp.int32)
+        ncx = jnp.maximum(jnp.ceil(ext[0] / chunk_size), 1).astype(jnp.int32)
+        ncy = jnp.maximum(jnp.ceil(ext[1] / chunk_size), 1).astype(jnp.int32)
 
         rel = xy - mn
-        lo = jnp.floor((rel - CONTEXT_MARGIN) / CHUNK_SIZE).astype(jnp.int32)
-        home = jnp.clip(jnp.floor(rel / CHUNK_SIZE).astype(jnp.int32),
+        lo = jnp.floor((rel - margin) / chunk_size).astype(jnp.int32)
+        home = jnp.clip(jnp.floor(rel / chunk_size).astype(jnp.int32),
                         0, jnp.stack([ncx - 1, ncy - 1]))
         home_id = home[:, 0] * ncy + home[:, 1]
 
         cells, members = [], []
-        w = CHUNK_SIZE + 2 * CONTEXT_MARGIN
+        w = chunk_size + 2 * margin
         for dx in (0, 1):
             for dy in (0, 1):
                 cx = lo[:, 0] + dx
                 cy = lo[:, 1] + dy
-                blx = cx.astype(jnp.float32) * CHUNK_SIZE - CONTEXT_MARGIN
-                bly = cy.astype(jnp.float32) * CHUNK_SIZE - CONTEXT_MARGIN
+                blx = cx.astype(jnp.float32) * chunk_size - margin
+                bly = cy.astype(jnp.float32) * chunk_size - margin
                 member = (
                     valid & (cx >= 0) & (cx < ncx) & (cy >= 0) & (cy < ncy)
                     & (rel[:, 0] >= blx) & (rel[:, 0] < blx + w)
@@ -515,19 +525,17 @@ def make_stitch(n_pad: int, x_cap: int, npoints: int, jit: bool = True):
     return jax.jit(stitch) if jit else stitch
 
 
-def make_scene_program(state, layout: SceneLayout, x_cap: int, nb: int,
-                       batch_size: int, npoints: int, seed: int = 0):
-    """jit ``(scene_buf u8, n) -> (n_pad,) u8``: the WHOLE per-scene
-    pipeline — grid chunker, ``nb`` predict batches (``lax.map``), stitch —
-    as ONE compiled program.  One dispatch per scene: the split-program
-    path paid ~12 tunnel dispatches per scene (each re-marshalling the
-    state tree), which serialized into the scene rate."""
-    import jax
+def _scene_program_body(layout: SceneLayout, x_cap: int, nb: int,
+                        batch_size: int, npoints: int, seed: int,
+                        chunk_size: float, margin: float):
+    """The un-jitted per-scene pipeline ``(state, buf, n) -> (labels u8,
+    n_chunks)`` shared by the single-device and mesh programs."""
     import jax.numpy as jnp
     from jax import lax
 
-    chunker = make_scene_chunker(layout, x_cap, npoints, seed, jit=False)
-    predict = make_resident_predict_step(state, layout, batch_size,
+    chunker = make_scene_chunker(layout, x_cap, npoints, seed, jit=False,
+                                 chunk_size=chunk_size, margin=margin)
+    predict = make_resident_predict_step(None, layout, batch_size,
                                          npoints, jit=False)
     stitch = make_stitch(layout.n_pad, x_cap, npoints, jit=False)
 
@@ -546,7 +554,67 @@ def make_scene_program(state, layout: SceneLayout, x_cap: int, nb: int,
         # not stitch label 0 into the surplus chunks' home vertices).
         return stitch(labs, idx, mask), n_chunks
 
-    return jax.jit(program)
+    return program
+
+
+def make_scene_program(state, layout: SceneLayout, x_cap: int, nb: int,
+                       batch_size: int, npoints: int, seed: int = 0,
+                       chunk_size: float = CHUNK_SIZE,
+                       margin: float = CONTEXT_MARGIN):
+    """jit ``(scene_buf u8, n) -> ((n_pad,) u8, n_chunks)``: the WHOLE
+    per-scene pipeline — grid chunker, ``nb`` predict batches (``lax.map``),
+    stitch — as ONE compiled program.  One dispatch per scene: the
+    split-program path paid ~12 tunnel dispatches per scene (each
+    re-marshalling the state tree), which serialized into the scene rate."""
+    import jax
+
+    return jax.jit(_scene_program_body(layout, x_cap, nb, batch_size,
+                                       npoints, seed, chunk_size, margin))
+
+
+def make_scene_program_mesh(state, layout: SceneLayout, x_cap: int, nb: int,
+                            batch_size: int, npoints: int, mesh,
+                            seed: int = 0, chunk_size: float = CHUNK_SIZE,
+                            margin: float = CONTEXT_MARGIN,
+                            axis_name: str = "data"):
+    """jit ``(state, bufs (D, nbytes) u8, ns (D,)) -> ((D, n_pad) u8,
+    (D,) n_chunks)``: SCENE-PER-DEVICE serving — each mesh device runs the
+    whole per-scene program on its own scene, ONE dispatch for D scenes.
+
+    This is the north-star sharding of full-scene inference (BASELINE.json:
+    'full-scene inference shards cuboid subsets across chips', subsuming
+    ref ``train_multi_gpu.py:181-203``'s tower split): the per-scene
+    program is already a single fused device computation, so the natural
+    mesh axis is the SCENE, not the chunk — zero collectives, no cross-chip
+    traffic, and the per-scene pipeline (chunker -> lax.map predicts ->
+    stitch) is byte-identical to the single-device program, which keeps the
+    stitched output bit-equal for any device count (asserted in
+    tests/test_resident_serving.py)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    body = _scene_program_body(layout, x_cap, nb, batch_size, npoints,
+                               seed, chunk_size, margin)
+
+    def per_device(st, buf1, n1):
+        lab, nc = body(st, buf1[0], n1[0])
+        return lab[None], nc[None]
+
+    mapped = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(axis_name, None), P(axis_name)),
+        out_specs=(P(axis_name, None), P(axis_name)),
+        # The body is an independent per-device program (no collectives);
+        # varying-manual-axes checking adds nothing and rejects the
+        # replicated-state broadcast pattern on some versions.
+        check_vma=False,
+    )
+    return jax.jit(
+        mapped,
+        in_shardings=(NamedSharding(mesh, P()),
+                      NamedSharding(mesh, P(axis_name, None)),
+                      NamedSharding(mesh, P(axis_name))),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -565,12 +633,29 @@ class ResidentSceneServer:
     ``predict_scenes`` keeps ``pipeline_depth`` scenes in flight so uploads,
     chunking, and predict batches overlap across scenes on an async
     dispatch queue (the link latency then pipelines instead of serializing).
+
+    ``mesh``: a 1-D ``jax.sharding.Mesh`` shards serving SCENE-PER-DEVICE —
+    groups of ``mesh.size`` scenes are packed to a common bucket, uploaded
+    as one sharded (D, nbytes) buffer, and predicted by one dispatch of the
+    shard_map program (``make_scene_program_mesh``); stitched outputs are
+    bit-identical to the single-device path.
     """
 
     def __init__(self, state, npoints: int, batch_size: int = 16,
                  layout: str = "q16", seed: int = 0, use_colors: bool = True,
                  use_normals: bool = True, pad_multiple: int = 16384,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, chunk_size: float = CHUNK_SIZE,
+                 margin: float = CONTEXT_MARGIN, mesh=None):
+        if mesh is not None and mesh.devices.size == 1:
+            mesh = None  # a 1-device mesh IS the single-device path
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # Params/batch-stats replicated across the serving mesh once.
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        self.mesh = mesh
+        self.n_lanes = 1 if mesh is None else int(mesh.devices.size)
         self.state = state
         self.npoints = npoints
         self.batch_size = batch_size
@@ -580,6 +665,8 @@ class ResidentSceneServer:
         self.use_normals = use_normals
         self.pad_multiple = pad_multiple
         self.pipeline_depth = pipeline_depth
+        self.chunk_size = chunk_size
+        self.margin = margin
         self._chunkers = {}
         self._steps = {}
         self._programs = {}
@@ -599,7 +686,8 @@ class ResidentSceneServer:
         if ck not in self._chunkers:
             self._chunkers[ck] = (
                 make_scene_chunker(self._layout(n_pad), x_cap, self.npoints,
-                                   self.seed),
+                                   self.seed, chunk_size=self.chunk_size,
+                                   margin=self.margin),
                 make_stitch(n_pad, x_cap, self.npoints),
             )
         if n_pad not in self._steps:
@@ -626,7 +714,8 @@ class ResidentSceneServer:
             scene.get("normals") if self.use_normals else None)
         # Count on the coords the device will see (q16 decode shifts points
         # by up to half a quantum — enough to flip a margin membership).
-        x = chunk_count(layout.decode_host(buf)["points"][:n], self.npoints)
+        x = chunk_count(layout.decode_host(buf)["points"][:n], self.npoints,
+                        self.chunk_size, self.margin)
         # q16 slack: host numpy and XLA may round the dequant mul-add
         # differently (FMA), so the device chunk count can drift by a cell's
         # worth of ceil — schedule one extra batch so no device chunk is
@@ -646,7 +735,8 @@ class ResidentSceneServer:
         if pk not in self._programs:
             self._programs[pk] = make_scene_program(
                 self.state, self._layout(n_pad), x_cap, nb,
-                self.batch_size, self.npoints, self.seed)
+                self.batch_size, self.npoints, self.seed,
+                chunk_size=self.chunk_size, margin=self.margin)
         acc, n_chunks = self._programs[pk](self.state, dbuf, n)
         try:  # overlap D2H with the next scene's compute
             acc.copy_to_host_async()
@@ -668,21 +758,111 @@ class ResidentSceneServer:
                 "slack in ResidentSceneServer._stage")
         return name, np.asarray(acc)[:n].astype(np.int32)
 
+    # -- mesh (scene-per-device) path ------------------------------------
+
+    def _stage_group(self, group):
+        """Pack ``<= n_lanes`` scenes at a COMMON bucket (max over the
+        group; the chunker's output is invariant to n_pad/x_cap padding, so
+        group bucketing does not change any scene's stitched labels) and
+        upload them as ONE (D, nbytes) buffer sharded scene-per-device."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_real = len(group)
+        group = list(group) + [group[-1]] * (self.n_lanes - n_real)
+        names = [s.get("scene_name") for s in group]
+        pts = [np.asarray(s["points"], np.float32) for s in group]
+        ns = np.array([len(p) for p in pts], np.int32)
+        n_pad = self._n_pad(int(ns.max()))
+        layout = self._layout(n_pad)
+        bufs = np.stack([
+            layout.pack(p, s.get("colors") if self.use_colors else None,
+                        s.get("normals") if self.use_normals else None)
+            for p, s in zip(pts, group)])
+        xs = [chunk_count(layout.decode_host(b)["points"][:n], self.npoints,
+                          self.chunk_size, self.margin)
+              for b, n in zip(bufs, ns)]
+        slack = self.batch_size if self.layout_kind == "q16" else 0
+        x = max(xs) + slack
+        dbufs = jax.device_put(
+            bufs, NamedSharding(self.mesh, P("data", None)))
+        dns = jax.device_put(ns, NamedSharding(self.mesh, P("data")))
+        return (names, ns, n_real, n_pad, _bucket(x, 4 * self.batch_size),
+                x, dbufs, dns)
+
+    def _compute_group(self, staged):
+        names, ns, n_real, n_pad, x_cap, x, dbufs, dns = staged
+        nb = -(-x // self.batch_size)
+        pk = (n_pad, x_cap, nb)
+        if pk not in self._programs:
+            self._programs[pk] = make_scene_program_mesh(
+                self.state, self._layout(n_pad), x_cap, nb,
+                self.batch_size, self.npoints, self.mesh, self.seed,
+                chunk_size=self.chunk_size, margin=self.margin)
+        acc, n_chunks = self._programs[pk](self.state, dbufs, dns)
+        try:
+            acc.copy_to_host_async()
+        except AttributeError:
+            pass
+        return names, ns, n_real, acc, n_chunks, nb * self.batch_size
+
+    def _fetch_group(self, computed):
+        names, ns, n_real, acc, n_chunks, cap = computed
+        ncs = np.asarray(n_chunks)
+        labs = np.asarray(acc)
+        for i in range(n_real):
+            if int(ncs[i]) > cap:
+                raise RuntimeError(
+                    f"device chunker produced {int(ncs[i])} chunks for "
+                    f"scene {names[i]!r} but only {cap} predict slots were "
+                    "scheduled — the q16 host/device chunk-count slack was "
+                    "exceeded; raise the slack in "
+                    "ResidentSceneServer._stage_group")
+            yield names[i], labs[i, :ns[i]].astype(np.int32)
+
+    # -- public API ------------------------------------------------------
+
     def predict_scene(self, scene: Dict[str, np.ndarray]) -> np.ndarray:
         """points (N,3) [+ colors u8 / normals f32] -> per-vertex labels
         (N,) int32."""
+        if self.mesh is not None:
+            return next(self._fetch_group(
+                self._compute_group(self._stage_group([scene]))))[1]
         return self._fetch(self._compute(self._stage(scene)))[1]
 
     def predict_scenes(self, scenes) -> Iterator[Tuple[str, np.ndarray]]:
         """Pipelined multi-scene serving; yields (scene_name, labels).
 
         Uploads run in a prefetch thread while the main thread drives
-        device compute and fetches, ``pipeline_depth`` scenes in flight."""
+        device compute and fetches, ``pipeline_depth`` scenes (or
+        scene-groups, on a mesh) in flight."""
         from collections import deque
 
         from pointcloud_segmentation_attention_tpu.data.pipeline import (
             prefetch,
         )
+
+        if self.mesh is not None:
+            def groups():
+                g = []
+                for s in scenes:
+                    g.append(s)
+                    if len(g) == self.n_lanes:
+                        yield g
+                        g = []
+                if g:
+                    yield g
+
+            staged = prefetch((self._stage_group(g) for g in groups()),
+                              depth=self.pipeline_depth)
+            pending = deque()
+            for st in staged:
+                pending.append(self._compute_group(st))
+                if len(pending) > self.pipeline_depth:
+                    yield from self._fetch_group(pending.popleft())
+            while pending:
+                yield from self._fetch_group(pending.popleft())
+            return
 
         staged = prefetch((self._stage(s) for s in scenes),
                           depth=self.pipeline_depth)
@@ -708,6 +888,9 @@ def generate_predictions_resident(
     with_labels: bool = True,
     save_npy: bool = True,
     seed: int = 0,
+    chunk_size: float = CHUNK_SIZE,
+    margin: float = CONTEXT_MARGIN,
+    mesh=None,
 ):
     """Resident-path twin of ``eval.full_scene.generate_predictions``
     (ref ``benchmark/generate_predictions.py:151-186``): predict every
@@ -725,7 +908,8 @@ def generate_predictions_resident(
     os.makedirs(output_dir, exist_ok=True)
     server = ResidentSceneServer(
         state, npoints, batch_size=batch_size, layout=layout, seed=seed,
-        use_colors=use_colors, use_normals=use_normals)
+        use_colors=use_colors, use_normals=use_normals,
+        chunk_size=chunk_size, margin=margin, mesh=mesh)
     scenes = []
 
     def stream():

@@ -72,11 +72,14 @@ def run_cls_convergence(
     num_votes: int = 3,
     n_devices: Optional[int] = None,
     seed: int = 0,
+    normal_channel: bool = False,
 ) -> dict:
     """Synthetic ModelNet (class-distinctive ellipsoid shells) -> the real
     classification trainer -> voting evaluator.  Chance accuracy is
     ``1/num_classes``; the summary's ``best_accuracy`` demonstrates learning.
-    """
+    ``normal_channel=True`` feeds the per-point normals as features (the
+    reference's cls-MSG '+normals' configuration, ref
+    ``pointnet2_tensorflow/train.py:30`` --normal flag)."""
     # Cache key carries every generation parameter — a persistent workdir
     # must not silently reuse data written with a different config.
     data_root = os.path.join(
@@ -95,7 +98,7 @@ def run_cls_convergence(
         data_root, model_name=model_name, num_classes=num_classes,
         npoints=n_points, batch_size=batch_size, epochs=epochs,
         num_votes=num_votes, log_dir=os.path.join(workdir, f"cls_{model_name}"),
-        n_devices=n_devices, seed=seed,
+        n_devices=n_devices, seed=seed, normal_channel=normal_channel,
     )
     summary["chance_accuracy"] = 1.0 / num_classes
     summary["model"] = model_name
@@ -194,6 +197,127 @@ def run_attention_convergence(
     return results
 
 
+def run_v1_scannet_convergence(
+    workdir: str,
+    dataset_kind: str = "whole",
+    n_train_scenes: int = 6,
+    n_val_scenes: int = 2,
+    scene_points: int = 20000,
+    npoints: int = 2048,
+    batch_size: int = 4,
+    epochs: int = 8,
+    n_devices: Optional[int] = None,
+    seed: int = 0,
+    max_steps: Optional[int] = None,
+) -> dict:
+    """The upstream ScanNet v1 trainer end to end (ref
+    ``pointnet2_tensorflow/scannet/train.py:364-483``): whole-scene (or
+    chunk/virtual-scan) training batches with weighted-dropout resampling,
+    then the whole-scene evaluator with point accuracy, mIoU AND the
+    calibrated surface-voxel accuracy — the v1 pipeline's distinctive
+    metric."""
+    from pointcloud_segmentation_attention_tpu.data.scannet import (
+        read_split, write_synthetic_dataset,
+    )
+    from pointcloud_segmentation_attention_tpu.train.v1_scannet_trainer import (
+        train_scannet_v1,
+    )
+
+    data_root = os.path.join(
+        workdir, f"scannet_v1_{n_train_scenes}_{scene_points}_{seed}")
+    if not _cache_complete(data_root):
+        write_synthetic_dataset(
+            data_root, n_train=n_train_scenes, n_val=n_val_scenes,
+            n_points=scene_points, seed=seed, color_coded=True)
+        _mark_cache_complete(data_root)
+    splits = os.path.join(data_root, "splits")
+    summary = train_scannet_v1(
+        data_root, read_split(splits, "train"), read_split(splits, "val"),
+        npoints=npoints, batch_size=batch_size, epochs=epochs,
+        log_dir=os.path.join(workdir, f"v1_scannet_{dataset_kind}"),
+        n_devices=n_devices, seed=seed, dataset_kind=dataset_kind,
+        max_steps=max_steps)
+    summary["model"] = "sem_seg (v1 trainer)"
+    summary["dataset_kind"] = dataset_kind
+    return summary
+
+
+def run_attention_net_convergence(
+    workdir: str,
+    model: str = "attention_net",
+    n_train_scenes: int = 8,
+    n_val_scenes: int = 2,
+    scene_points: int = 16000,
+    n_points: int = 2048,
+    batch_size: int = 4,
+    max_steps: int = 200,
+    n_devices: Optional[int] = None,
+    seed: int = 0,
+) -> dict:
+    """The Keras-style AttentionNet family (ref
+    ``attention_points/attention_scannet/attention_models.py:17-253``)
+    through the UNIFIED trainer: same __call__ contract as the SemSegNet
+    family, so the zero-precompute sampler input, val loop and
+    best-checkpoint retention all apply unchanged."""
+    from pointcloud_segmentation_attention_tpu.data.scannet import (
+        write_synthetic_dataset,
+    )
+    from pointcloud_segmentation_attention_tpu.train import trainer
+    from pointcloud_segmentation_attention_tpu.utils.config import TrainConfig
+
+    data_root = os.path.join(
+        workdir, f"scannet_attnet_{n_train_scenes}_{scene_points}_{seed}")
+    if not _cache_complete(data_root):
+        write_synthetic_dataset(
+            data_root, n_train=n_train_scenes, n_val=n_val_scenes,
+            n_points=scene_points, seed=seed, color_coded=True)
+        _mark_cache_complete(data_root)
+    config = TrainConfig(
+        data_root=data_root, model=model, input="sampler",
+        log_dir=os.path.join(workdir, f"attnet_{model}"),
+        n_points=n_points, batch_size=batch_size, seed=seed, epochs=10**6,
+        n_epochs_to_val=max(1, max_steps
+                            // max(1, n_train_scenes // batch_size) // 6),
+        save_every_epochs=0, n_devices=n_devices)
+    summary = trainer.train(config, max_steps=max_steps)
+    summary["model"] = model
+    return summary
+
+
+def run_extended(workdir: str, epochs: int = 60,
+                 n_devices: Optional[int] = None, seed: int = 0) -> dict:
+    """The round-5 extension arms (VERDICT r4 #6): every previously
+    smoke-only family trained to demonstrated learning.
+
+    ``part_seg_msg_one_hot`` is trained on the SAME corpus/seed as the
+    unconditioned ``part_seg`` and the delta is recorded — showing the
+    one-hot object-class conditioning (ref
+    ``pointnet2_part_seg_msg_one_hot.py:36-39``) helps is what the
+    comparison is *for*."""
+    results = {}
+    results["cls_msg"] = run_cls_convergence(
+        workdir, "cls_msg", epochs=epochs, n_devices=n_devices, seed=seed,
+        normal_channel=True)
+    plain = run_partseg_convergence(
+        workdir, "part_seg", epochs=epochs, n_devices=n_devices, seed=seed)
+    onehot = run_partseg_convergence(
+        workdir, "part_seg_msg_one_hot", epochs=epochs, n_devices=n_devices,
+        seed=seed)
+    results["part_seg"] = plain
+    results["part_seg_msg_one_hot"] = onehot
+    results["one_hot_minus_plain_class_avg_iou"] = (
+        onehot.get("best_class_avg_iou", 0.0)
+        - plain.get("best_class_avg_iou", 0.0))
+    results["pointnet1_seg"] = run_partseg_convergence(
+        workdir, "pointnet1_seg", epochs=epochs, n_devices=n_devices,
+        seed=seed)
+    results["attention_net"] = run_attention_net_convergence(
+        workdir, n_devices=n_devices, seed=seed)
+    results["v1_scannet_whole"] = run_v1_scannet_convergence(
+        workdir, dataset_kind="whole", n_devices=n_devices, seed=seed)
+    return results
+
+
 def main(argv=None):
     import argparse
 
@@ -203,8 +327,20 @@ def main(argv=None):
     p.add_argument("--attention_epochs", type=int, default=100)
     p.add_argument("--results", default=None)
     p.add_argument("--skip_attention", action="store_true")
+    p.add_argument("--extended", action="store_true",
+                   help="run the round-5 extension arms (cls_msg w/normals, "
+                        "part_seg_msg_one_hot vs part_seg, pointnet1_seg, "
+                        "attention_net, v1 whole-scene) instead")
     args = p.parse_args(argv)
     os.makedirs(args.workdir, exist_ok=True)
+
+    if args.extended:
+        results = run_extended(args.workdir, epochs=args.epochs)
+        out = args.results or os.path.join(args.workdir, "results_ext.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2, default=float)
+        print(json.dumps(results, indent=2, default=float))
+        return
 
     results = {
         "cls_ssg": run_cls_convergence(

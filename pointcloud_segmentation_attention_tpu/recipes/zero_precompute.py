@@ -49,6 +49,7 @@ def run_zero_precompute(
     n_devices: Optional[int] = None,
     seed: int = 0,
     results_path: Optional[str] = None,
+    n_epochs_to_val: Optional[int] = None,
 ) -> dict:
     """Dataset -> ``train(input='sampler')`` -> resident-serving stitched
     eval.  No precompute directory is ever created; after the one-time
@@ -64,8 +65,8 @@ def run_zero_precompute(
         data_root=data_root, model="sem_seg_features", input="sampler",
         log_dir=os.path.join(workdir, "logs"), n_points=n_points,
         batch_size=batch_size, epochs=epochs, seed=seed,
-        n_epochs_to_val=max(1, epochs // 4), save_every_epochs=epochs,
-        n_devices=n_devices,
+        n_epochs_to_val=n_epochs_to_val or max(1, epochs // 4),
+        save_every_epochs=epochs, n_devices=n_devices,
     )
     summary = trainer.train(config)
     assert not os.path.exists(config.precompute_dir), \
@@ -99,6 +100,7 @@ def run_zero_precompute(
     offline = benchmark.evaluate(pred_files, gt_files)
 
     loss_curve = []
+    pps = []
     metrics_path = os.path.join(config.log_dir, "train_metrics.jsonl")
     if os.path.exists(metrics_path):
         with open(metrics_path) as f:
@@ -107,12 +109,19 @@ def run_zero_precompute(
                 if "train_loss" in rec:
                     loss_curve.append({"step": rec["step"],
                                        "loss": rec["train_loss"]})
+                if "points_per_sec" in rec:
+                    pps.append(rec["points_per_sec"])
 
     results = {
         "offline_mean_iou": offline["mean_iou"],
         "loss_curve": loss_curve[-10:],
         "final_loss": summary.get("final_train_loss", float("nan")),
         "best_val_miou": summary.get("best_val_miou"),
+        # Honest end-to-end training rate (median of the trainer's
+        # per-epoch wall-clock rates; the median skips the occasional
+        # val-bearing epoch) — cross-checkable against bench.py's
+        # sampler-step rate.
+        "median_points_per_sec": (float(np.median(pps)) if pps else None),
         "config": {
             "n_train_scenes": n_train_scenes, "scene_points": scene_points,
             "n_points": n_points, "batch_size": batch_size,

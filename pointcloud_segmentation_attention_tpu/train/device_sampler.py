@@ -69,6 +69,8 @@ _N_VOXELS = int(np.prod(OCCUPANCY_GRID))
 
 def scene_voxel_sort(
     points: np.ndarray,
+    chunk_size: float = CHUNK_SIZE,
+    margin: float = CONTEXT_MARGIN,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host-side, once per scene: sort order by scene-anchored voxel id +
     per-point first-index-of-my-voxel-run (relative to the sorted scene) +
@@ -83,7 +85,7 @@ def scene_voxel_sort(
     Returns ``(order, run_start_rel, vx_sorted)`` indexed in sorted order.
     """
     lo = points.min(axis=0)
-    cxy = (CHUNK_SIZE + 2 * CONTEXT_MARGIN) / OCCUPANCY_GRID[0]
+    cxy = (chunk_size + 2 * margin) / OCCUPANCY_GRID[0]
     cz = max(float(points[:, 2].max() - lo[2]), 1e-6) / OCCUPANCY_GRID[2]
     vx = np.floor((points[:, 0] - lo[0]) / cxy).astype(np.int64)
     vy = np.floor((points[:, 1] - lo[1]) / cxy).astype(np.int64)
@@ -127,20 +129,53 @@ class ResidentScenes:
     so window slices never clamp.
     """
 
+    @staticmethod
+    def estimate_bytes(lengths, use_colors: bool = True,
+                       use_normals: bool = True) -> int:
+        """Device (== host peak) bytes the resident buffers will take for
+        scenes of these lengths — points f32x3 + labels i32 + run_start i32
+        + vx i32 [+ colors u8x3 + normals f32x3], each padded by max_len
+        tail rows.  Computable from scene headers BEFORE loading any scene
+        body, so the budget check fails fast."""
+        lengths = np.asarray(lengths, np.int64)
+        rows = int(lengths.sum() + lengths.max())
+        per_row = 12 + 4 + 4 + 4
+        if use_colors:
+            per_row += 3
+        if use_normals:
+            per_row += 12
+        return rows * per_row
+
     def __init__(self, scenes: List[Dict[str, np.ndarray]], mesh=None,
-                 use_colors: bool = True, use_normals: bool = True):
+                 use_colors: bool = True, use_normals: bool = True,
+                 chunk_size: float = CHUNK_SIZE,
+                 margin: float = CONTEXT_MARGIN,
+                 budget_mb: Optional[float] = None):
         import jax
 
         lengths = np.array([len(s["points"]) for s in scenes], np.int32)
+        if budget_mb is not None:
+            need = self.estimate_bytes(lengths, use_colors, use_normals)
+            if need > budget_mb * 2**20:
+                raise ValueError(
+                    f"resident sampler corpus needs {need / 2**20:.0f} MB "
+                    f"of HBM (and host RAM to build it) > budget_mb="
+                    f"{budget_mb:.0f} for {len(scenes)} scenes — raise "
+                    "sampler_budget_mb, shard scenes across hosts "
+                    "(parallel.host_shard), or fall back to a packed input "
+                    "mode")
         offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int32)
         self.max_len = int(lengths.max())
         self.lengths = lengths
         self.offsets = offsets
         self.use_colors = use_colors
         self.use_normals = use_normals
+        self.chunk_size = chunk_size
+        self.margin = margin
 
         orders, run_starts, vxs = zip(*(
-            scene_voxel_sort(np.asarray(s["points"], np.float32))
+            scene_voxel_sort(np.asarray(s["points"], np.float32),
+                             chunk_size, margin)
             for s in scenes))
         # Static stripe window: the largest x-stripe population over all
         # scenes (rounded up for stable compiled shapes; capped by max_len,
@@ -227,7 +262,8 @@ def _occupancy_fraction_fast(win_run_start, cand, max_len: int):
 def _sample_one(points, labels, colors, normals, run_start, vx, x_min,
                 offset, length, key, *, npoints: int, max_len: int,
                 sub_len: int, class_weights, occupancy: str = "fast",
-                with_box: bool = False):
+                with_box: bool = False, chunk_size: float = CHUNK_SIZE,
+                margin: float = CONTEXT_MARGIN):
     """Sample one chunk from one scene; returns a chunk dict of fixed
     shapes (npoints rows).
 
@@ -240,8 +276,8 @@ def _sample_one(points, labels, colors, normals, run_start, vx, x_min,
     import jax.numpy as jnp
     from jax import lax
 
-    cxy = (CHUNK_SIZE + 2 * CONTEXT_MARGIN) / OCCUPANCY_GRID[0]
-    half = CHUNK_SIZE / 2.0
+    cxy = (chunk_size + 2 * margin) / OCCUPANCY_GRID[0]
+    half = chunk_size / 2.0
     big_vx = jnp.int32(2**30)
     # Scene x-cell sequence (monotone within the scene; positions past
     # ``length`` belong to the NEXT scene and must be masked to a sentinel
@@ -251,7 +287,7 @@ def _sample_one(points, labels, colors, normals, run_start, vx, x_min,
 
     def stripe_start(lo_x):
         # First sorted index whose x-cell can hold x >= lo_x - margin.
-        target = jnp.floor((lo_x - CONTEXT_MARGIN - x_min) / cxy
+        target = jnp.floor((lo_x - margin - x_min) / cxy
                            ).astype(jnp.int32)
         return jnp.searchsorted(win_vx, target, side="left"
                                 ).astype(jnp.int32)
@@ -270,7 +306,7 @@ def _sample_one(points, labels, colors, normals, run_start, vx, x_min,
     def stripe_masks(s_pts, start, lo, hi):
         valid = start + jnp.arange(sub_len) < length
         xy = s_pts[:, :2]
-        cand = ((xy >= lo - CONTEXT_MARGIN) & (xy <= hi + CONTEXT_MARGIN)
+        cand = ((xy >= lo - margin) & (xy <= hi + margin)
                 ).all(axis=1) & valid
         return valid, cand
 
@@ -367,7 +403,8 @@ def sample_chunk_batch(scenes: ResidentScenes, scene_ids, rng, npoints: int,
     keys = jax.random.split(rng, scene_ids.shape[0])
     fn = partial(_sample_one, npoints=npoints, max_len=scenes.max_len,
                  sub_len=scenes.sub_len, class_weights=cw,
-                 occupancy=occupancy, with_box=with_box)
+                 occupancy=occupancy, with_box=with_box,
+                 chunk_size=scenes.chunk_size, margin=scenes.margin)
     return jax.vmap(
         lambda sid, k: fn(scenes.points, scenes.labels, scenes.colors,
                           scenes.normals, scenes.run_start, scenes.vx,

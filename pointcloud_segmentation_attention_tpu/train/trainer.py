@@ -95,7 +95,8 @@ def resolve_input_mode(config: TrainConfig) -> str:
     return mode
 
 
-def _onfly_val_chunks(data_root: str, val_scenes, n_points: int, seed=0):
+def _onfly_val_chunks(data_root: str, val_scenes, n_points: int, seed=0,
+                      chunk_size: float = 1.5, margin: float = 0.2):
     """Full-coverage val chunks cut on the fly from RAW scenes — the val
     path of the zero-precompute sampler mode (no precompute dir exists)."""
     from pointcloud_segmentation_attention_tpu.data.scannet.chunks import (
@@ -109,7 +110,8 @@ def _onfly_val_chunks(data_root: str, val_scenes, n_points: int, seed=0):
         sc = load_scene_mapped(data_root, name)
         out = grid_chunks_for_eval(
             sc["points"], sc["labels"], sc["colors"], sc["normals"],
-            n_points, rng=np.random.RandomState(seed))
+            n_points, rng=np.random.RandomState(seed),
+            chunk_size=chunk_size, margin=margin)
         for i in range(len(out["points"])):
             yield {k: out[k][i]
                    for k in ("points", "labels", "colors", "normals",
@@ -195,16 +197,24 @@ def train(config: TrainConfig, max_steps: Optional[int] = None,
         )
 
         replay = None
+        # Multi-host: each process keeps only ITS scene shard resident
+        # (the reference's per-host scene lists, generator_dataset.py:12-43
+        # implicit contract); batches index the LOCAL shard, so per-host
+        # HBM and host RAM scale down with process_count.
+        local_scenes = parallel.host_shard(train_scenes)
         sampler_scenes = ds.ResidentScenes(
-            [load_scene_mapped(config.data_root, s) for s in train_scenes],
+            [load_scene_mapped(config.data_root, s) for s in local_scenes],
             mesh=mesh, use_colors=config.use_colors,
-            use_normals=config.use_normals)
+            use_normals=config.use_normals,
+            chunk_size=config.chunk_size, margin=config.context_margin,
+            budget_mb=config.sampler_budget_mb)
 
         def _device_batches():
-            rng_np = np.random.RandomState(config.seed)
-            n_full = n_train // config.batch_size * config.batch_size
+            rng_np = np.random.RandomState(config.seed + 31 * jax.process_index())
+            n_local = len(local_scenes)
+            n_full = n_local // config.batch_size * config.batch_size
             while True:
-                order = rng_np.permutation(n_train)
+                order = rng_np.permutation(n_local)
                 for i in range(0, max(n_full, config.batch_size),
                                config.batch_size):
                     ids = np.resize(order[i:i + config.batch_size],
@@ -378,6 +388,22 @@ def train(config: TrainConfig, max_steps: Optional[int] = None,
     loss_acc = acc_acc = None
     train_t0 = epoch_t0 = time.perf_counter()
     step_idx = -1
+    # Sampler-mode val chunks are deterministic (fixed seed): cut the full
+    # val grid ONCE and replay the cache every val epoch — re-cutting is
+    # O(total val points) host numpy per validation (a multi-minute stall
+    # at the reference's 312-scene val set).
+    val_chunk_cache = None
+
+    def _sampler_val_iter():
+        nonlocal val_chunk_cache
+        gen = _onfly_val_chunks(
+            config.data_root, val_scenes, config.n_points,
+            chunk_size=config.chunk_size, margin=config.context_margin)
+        if not config.cache_val_chunks:
+            return gen
+        if val_chunk_cache is None:
+            val_chunk_cache = list(gen)
+        return iter(val_chunk_cache)
     for step_idx in range(total_steps):
         if (max_seconds is not None
                 and time.perf_counter() - train_t0 > max_seconds):
@@ -414,9 +440,8 @@ def train(config: TrainConfig, max_steps: Optional[int] = None,
             if config.save_every_epochs and epoch % config.save_every_epochs == 0:
                 save_checkpoint(config.ckpt_dir, state, step_idx + 1)
             if epoch % config.n_epochs_to_val == 0:
-                val_iter = (_onfly_val_chunks(
-                    config.data_root, val_scenes, config.n_points)
-                    if mode == "sampler" else None)
+                val_iter = (_sampler_val_iter()
+                            if mode == "sampler" else None)
                 val = evaluate(config, state, eval_step, mesh, val_scenes,
                                chunk_iter=val_iter)
                 logger.log(step_idx + 1, {f"val_{k}": v for k, v in val.items()})

@@ -25,6 +25,14 @@ class TrainConfig:
     use_colors: bool = True
     use_normals: bool = True
     use_subset: bool = False       # first third of train scenes (ablation)
+    # Chunk geometry (ref data_transformation.py:98-99 /
+    # complete_scene_loader.py:31-42): the context margin is the
+    # reference's Table 4 "smarter scene subsets" headline mechanism —
+    # a knob here so the margin ablation runs through one config field.
+    # Applies to the sampler input mode and the on-the-fly val chunker
+    # (precomputed corpora bake their own geometry at precompute time).
+    chunk_size: float = 1.5
+    context_margin: float = 0.2
     # Input path (the trainer's data plane):
     #   'npz'      — replay precomputed npz chunks (the reference's
     #                pickle-replay equivalent, ref precompute_dataset.py),
@@ -48,6 +56,15 @@ class TrainConfig:
     # slow/remote host link when the corpus fits the budget below.
     device_replay: bool = False
     device_replay_budget_mb: int = 4096
+    # input='sampler' HBM/host budget for the raw resident scenes (39 B/pt
+    # at full features): checked against the scene lengths BEFORE loading
+    # scene bodies, so an over-budget corpus fails fast instead of OOMing
+    # mid-upload (real ScanNet: 1201 scenes x ~150k pts ~= 7 GB).
+    sampler_budget_mb: int = 8192
+    # Cache the sampler mode's on-the-fly val chunks across val epochs
+    # (they are deterministic, seed-keyed): re-cutting the full val grid
+    # every val epoch is O(total val points) numpy per validation.
+    cache_val_chunks: bool = True
     # Fresh per-sample z-rotation EVERY step on the resident corpus (the
     # precomputed chunks bake one rotation per epoch; this multiplies
     # augmentation diversity at ~zero device cost).

@@ -46,11 +46,17 @@ def test_end_to_end_packed_wire_harness_runs():
 
 
 def test_serving_resident_harness_runs():
-    pps, samples, slots = bench.measure_serving_resident(
+    pps, samples, fields = bench.measure_serving_resident(
         n=256, batch_size=4, n_scenes=2, scene_points=3000, warmup_scenes=1,
-        reps=2, model_kwargs=TINY)
+        reps=2, model_kwargs=TINY,
+        link_fit={"latency_ms": 10.0, "bandwidth_mb_per_s": 50.0},
+        inference_pps=1e6)
     assert np.isfinite(pps) and pps > 0
-    assert slots >= pps  # slots include margin duplicates + tail fill
+    # slots include margin duplicates + tail fill
+    assert fields["slots_per_sec"] >= pps
+    assert fields["scenes_per_sec_per_device"] > 0
+    # the link model predicts a finite positive rate
+    assert fields["expected_from_link"] > 0
 
 
 def test_link_fit_harness_runs():

@@ -255,3 +255,38 @@ def test_zero_precompute_recipe_smoke(tmp_path):
     assert np.isfinite(out["offline_mean_iou"])
     assert not os.path.exists(
         str(tmp_path / "scannet_synth" / "precomputed"))
+
+
+def test_resident_scenes_budget_estimate_matches_actual():
+    """estimate_bytes (the fail-fast budget check's basis) equals the real
+    resident buffer bytes, and an under-budget corpus raises before build."""
+    import pytest
+
+    rng = np.random.RandomState(3)
+    raw = [_make_scene(5000, rng), _make_scene(4000, rng)]
+    est = ResidentScenes.estimate_bytes([5000, 4000])
+    with pytest.raises(ValueError, match="budget"):
+        ResidentScenes(raw, budget_mb=est / 2**20 * 0.5)
+    rs = ResidentScenes(raw, budget_mb=est / 2**20 + 1)
+    actual = sum(np.asarray(b).nbytes for b in (
+        rs.points, rs.labels, rs.colors, rs.normals, rs.run_start, rs.vx))
+    assert actual == est
+
+
+def test_sampler_geometry_knob():
+    """chunk_size/margin are per-ResidentScenes knobs: with margin 0 every
+    sampled point lies INSIDE the (smaller) inner box."""
+    rng = np.random.RandomState(4)
+    scenes = ResidentScenes([_make_scene(40000, rng)],
+                            chunk_size=1.0, margin=0.0)
+    ids = jnp.asarray(np.array([0, 0], np.int32))
+    batch = sample_chunk_batch(scenes, ids, jax.random.PRNGKey(5),
+                               npoints=256, with_box=True)
+    pts = np.asarray(batch["points"])
+    lo = np.asarray(batch["chunk_lo"])
+    hi = np.asarray(batch["chunk_hi"])
+    assert np.asarray(batch["chunk_ok"]).all()
+    for b in range(2):
+        np.testing.assert_allclose(hi[b] - lo[b], 1.0, rtol=1e-5)
+        assert (pts[b, :, :2] >= lo[b] - 1e-5).all()
+        assert (pts[b, :, :2] <= hi[b] + 1e-5).all()

