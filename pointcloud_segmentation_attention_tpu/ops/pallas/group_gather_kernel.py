@@ -81,16 +81,25 @@ def group_gather(points, idx, cnt, interpret=False):
     return _group_gather_fwd_impl(points, idx, cnt, interpret)
 
 
+def _pick_center_tile(m: int, ns: int, c_pad: int) -> int:
+    """Center-tile size: bounds SMEM (idx tile) AND the double-buffered VMEM
+    out tile.  Mosaic double-buffers output blocks across grid steps, so the
+    out tile (mt * ns * c_pad * 4 B) must stay <= ~4 MB or large-nsample
+    shapes (e.g. cls MSG's 512 x 128-slot level) blow the 16 MB scoped-vmem
+    stack — observed as a compile-time OOM at f32[8,65536,128]."""
+    vmem_rows = max(1, (4 << 20) // (ns * c_pad * 4))
+    mt = min(256, m, vmem_rows)
+    while m % mt:
+        mt //= 2
+    return max(mt, 1)
+
+
 def _group_gather_fwd_impl(points, idx, cnt, interpret):
     b, n, c = points.shape
     m, ns = idx.shape[1], idx.shape[2]
     c_pad = _round_up(c, 128)
     n_pad = _round_up(n, 8)
-    # Center tile: bound SMEM (idx tile) and VMEM (out tile) use.
-    mt = min(256, m)
-    while m % mt:
-        mt //= 2
-    mt = max(mt, 1)
+    mt = _pick_center_tile(m, ns, c_pad)
     m_pad = _round_up(m, mt)
 
     src = points.astype(jnp.float32)

@@ -196,3 +196,21 @@ def test_mxu_scatter_add_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
     # Huge target sets stay on the XLA scatter path.
     assert not _mxu_scatter_supported(8192, 512)
+
+
+def test_group_gather_center_tile_bounds_vmem():
+    """Large-nsample shapes (cls MSG: m=512, ns=128) must pick a center tile
+    whose DOUBLE-BUFFERED out block fits the 16 MB scoped-vmem stack — the
+    r5 TPU batch hit a compile-time vmem OOM at f32[8,65536,128] when the
+    tile was bounded by count alone."""
+    from pointcloud_segmentation_attention_tpu.ops.pallas.group_gather_kernel import (
+        _pick_center_tile,
+    )
+
+    for m, ns, c_pad in [(512, 128, 128), (1024, 32, 128), (8192, 32, 128),
+                         (512, 16, 128), (7, 128, 256), (256, 64, 384)]:
+        mt = _pick_center_tile(m, ns, c_pad)
+        assert m % mt == 0 or mt == 1
+        # double-buffered out tile within half the 16 MB scoped stack,
+        # leaving room for the src block
+        assert 2 * mt * ns * c_pad * 4 <= 8 << 20, (m, ns, c_pad, mt)
