@@ -86,12 +86,18 @@ def _pick_center_tile(m: int, ns: int, c_pad: int) -> int:
     out tile.  Mosaic double-buffers output blocks across grid steps, so the
     out tile (mt * ns * c_pad * 4 B) must stay <= ~4 MB or large-nsample
     shapes (e.g. cls MSG's 512 x 128-slot level) blow the 16 MB scoped-vmem
-    stack — observed as a compile-time OOM at f32[8,65536,128]."""
-    vmem_rows = max(1, (4 << 20) // (ns * c_pad * 4))
-    mt = min(256, m, vmem_rows)
-    while m % mt:
-        mt //= 2
-    return max(mt, 1)
+    stack — observed as a compile-time OOM at f32[8,65536,128].
+
+    Mosaic also requires the SMEM idx block's second-to-last dim (mt) be a
+    multiple of 8 unless it equals the array dim, so mt rounds DOWN to 8s
+    (with an mt=8 floor) and non-divisible m is handled by center padding
+    (m_pad), never by shrinking mt below 8 — an earlier halving loop
+    degenerated to mt=2 at cls MSG's m=128/85-row bound and tripped the
+    divisibility check."""
+    if m <= 8:
+        return m  # block == array dim: always a legal Mosaic block
+    rows = (4 << 20) // (ns * c_pad * 4)
+    return max(8, min(256, rows, m) // 8 * 8)
 
 
 def _group_gather_fwd_impl(points, idx, cnt, interpret):

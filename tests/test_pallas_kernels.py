@@ -208,9 +208,15 @@ def test_group_gather_center_tile_bounds_vmem():
     )
 
     for m, ns, c_pad in [(512, 128, 128), (1024, 32, 128), (8192, 32, 128),
-                         (512, 16, 128), (7, 128, 256), (256, 64, 384)]:
+                         (512, 16, 128), (7, 128, 256), (256, 64, 384),
+                         (128, 32, 384), (100, 32, 128), (12, 64, 128)]:
         mt = _pick_center_tile(m, ns, c_pad)
-        assert m % mt == 0 or mt == 1
-        # double-buffered out tile within half the 16 MB scoped stack,
-        # leaving room for the src block
-        assert 2 * mt * ns * c_pad * 4 <= 8 << 20, (m, ns, c_pad, mt)
+        # Mosaic block-shape rule: mt a multiple of 8, or the whole array.
+        assert mt % 8 == 0 or mt == m, (m, ns, c_pad, mt)
+        # Double-buffered out tile within the 16 MB scoped stack (the mt=8
+        # floor can exceed the 4 MB half-target only for pathological
+        # ns x c products; assert the hard limit).
+        assert 2 * mt * ns * c_pad * 4 <= 16 << 20, (m, ns, c_pad, mt)
+        # The bound actually binds: cls MSG's shape picks a reduced tile.
+    assert _pick_center_tile(512, 128, 128) == 64
+    assert _pick_center_tile(128, 32, 384) == 80
