@@ -223,12 +223,16 @@ def run_v1_scannet_convergence(
         train_scannet_v1,
     )
 
+    # geometry_coded: the v1 trainer feeds xyz ONLY (ref scannet/train.py
+    # trains on points alone), so blob labels must be geometry-predictable
+    # for held-out mIoU to demonstrate learning.
     data_root = os.path.join(
-        workdir, f"scannet_v1_{n_train_scenes}_{scene_points}_{seed}")
+        workdir, f"scannet_v1g_{n_train_scenes}_{scene_points}_{seed}")
     if not _cache_complete(data_root):
         write_synthetic_dataset(
             data_root, n_train=n_train_scenes, n_val=n_val_scenes,
-            n_points=scene_points, seed=seed, color_coded=True)
+            n_points=scene_points, seed=seed, color_coded=True,
+            geometry_coded=True)
         _mark_cache_complete(data_root)
     splits = os.path.join(data_root, "splits")
     summary = train_scannet_v1(
