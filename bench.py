@@ -303,7 +303,8 @@ def measure_inference_e2e(b=16, n=8192, warmup=10, iters=20, reps=3,
 def measure_serving_resident(n=8192, batch_size=16, n_scenes=4,
                              scene_points=160000, warmup_scenes=2, reps=3,
                              layout="q16", model_kwargs=None,
-                             link_fit=None, inference_pps=None):
+                             link_fit=None, inference_pps=None,
+                             group_size=1):
     """Resident-scene serving rate: ONE packed q16 upload per scene, grid
     chunker + prediction + stitch all on device, one (num_vertices,) u8
     fetch per scene (eval/resident_serving.py — VERDICT r3 #1).
@@ -326,7 +327,8 @@ def measure_serving_resident(n=8192, batch_size=16, n_scenes=4,
     state, _ = _make_state_and_batch(batch_size, n,
                                      model_kwargs=model_kwargs)
     server = ResidentSceneServer(state, n, batch_size=batch_size,
-                                 layout=layout, pipeline_depth=2)
+                                 layout=layout, pipeline_depth=2,
+                                 group_size=group_size)
     rng = np.random.RandomState(11)
     # Scene geometry tuned to real-room density: 1.5 m cells hold ~2 chunks
     # of 8192 so tail fill stays small (the ceil-per-cell contract pads the
@@ -343,8 +345,14 @@ def measure_serving_resident(n=8192, batch_size=16, n_scenes=4,
     ]
     slots = sum(chunk_count(s["points"], n) for s in scenes) * n
 
-    for s in scenes[:warmup_scenes]:           # compile + warm the path
-        server.predict_scene(s)
+    if group_size > 1:
+        # Grouped mode: programs are keyed by the GROUP's max chunk count,
+        # so warm with a full pass (a single-scene warmup would compile a
+        # different nb and recompile mid-window).
+        list(server.predict_scenes(iter(scenes)))
+    else:
+        for s in scenes[:warmup_scenes]:       # compile + warm the path
+            server.predict_scene(s)
 
     def window(_k):
         t0 = time.perf_counter()
@@ -367,7 +375,8 @@ def measure_serving_resident(n=8192, batch_size=16, n_scenes=4,
         n_pad = -(-scene_points // 16384) * 16384
         lat = link_fit["latency_ms"] / 1e3
         bw = link_fit["bandwidth_mb_per_s"] * 2**20
-        t_scene = (2 * lat + (12.0 * n_pad + 1.0 * n_pad) / bw
+        t_scene = (2 * lat / max(1, group_size)
+                   + (12.0 * n_pad + 1.0 * n_pad) / bw
                    + (slots / n_scenes) / inference_pps)
         expected = round(scene_points / t_scene, 1)
     fields = {
@@ -565,6 +574,13 @@ def run_bench(model="sem_seg_features", quick=False):
     extra_median("serving_resident", measure_serving_resident, n,
                  batch_size=b, link_fit=extras.get("link"),
                  inference_pps=extras.get("inference"))
+    # RTT-amortized serving: 4 scenes per upload/dispatch/fetch — pays the
+    # tunnel's two per-scene RTTs once per group (eval/resident_serving.py
+    # group mode; bit-identical labels, tested).
+    extra_median("serving_resident_grouped", measure_serving_resident, n,
+                 batch_size=b, n_scenes=8, group_size=4,
+                 link_fit=extras.get("link"),
+                 inference_pps=extras.get("inference"))
     # Achieved wire rate per link-bound metric (points/sec x bytes/point):
     # directly comparable to the bracketing link fits, so a weather-hit
     # number is self-explaining — if the achieved MB/s matches the hour's
@@ -572,7 +588,8 @@ def run_bench(model="sem_seg_features", quick=False):
     # limiter; if it is far below, the path is compute-bound.
     for key, bpp in (("end_to_end_packed_q16", 14.0),
                      ("serving_e2e_packed_q16", 15.0),
-                     ("serving_resident", 13.0)):
+                     ("serving_resident", 13.0),
+                     ("serving_resident_grouped", 13.0)):
         if extras.get(key):
             extras[f"{key}_wire_mb_per_s"] = round(
                 extras[key] * bpp / 2**20, 1)

@@ -572,6 +572,32 @@ def make_scene_program(state, layout: SceneLayout, x_cap: int, nb: int,
                                        npoints, seed, chunk_size, margin))
 
 
+def make_scene_program_group(state, layout: SceneLayout, x_cap: int, nb: int,
+                             batch_size: int, npoints: int, seed: int = 0,
+                             chunk_size: float = CHUNK_SIZE,
+                             margin: float = CONTEXT_MARGIN):
+    """jit ``(state, bufs (K, nbytes) u8, ns (K,)) -> ((K, n_pad) u8,
+    (K,) n_chunks)``: K scenes per dispatch on ONE device (``lax.map`` over
+    the per-scene program).
+
+    This exists for high-RTT host links: the measured serving floor on the
+    tunnel is SERIALIZED upload-RTT + program + fetch-RTT per scene
+    (docs/performance.md) — batching K scenes into one upload, one
+    dispatch, and one fetch pays the two RTTs once per GROUP instead of
+    once per scene (K=4 cuts ~2 RTTs/scene to ~0.5).  Device compute is
+    unchanged (the K programs still run serially on the chip)."""
+    import jax
+    from jax import lax
+
+    body = _scene_program_body(layout, x_cap, nb, batch_size, npoints,
+                               seed, chunk_size, margin)
+
+    def multi(st, bufs, ns):
+        return lax.map(lambda bn: body(st, bn[0], bn[1]), (bufs, ns))
+
+    return jax.jit(multi)
+
+
 def make_scene_program_mesh(state, layout: SceneLayout, x_cap: int, nb: int,
                             batch_size: int, npoints: int, mesh,
                             seed: int = 0, chunk_size: float = CHUNK_SIZE,
@@ -639,15 +665,25 @@ class ResidentSceneServer:
     as one sharded (D, nbytes) buffer, and predicted by one dispatch of the
     shard_map program (``make_scene_program_mesh``); stitched outputs are
     bit-identical to the single-device path.
+
+    ``group_size``: on ONE device, batch this many scenes per
+    upload/dispatch/fetch (``make_scene_program_group``) — amortizes the
+    per-scene link RTTs that set the serving floor on high-latency hosts;
+    also bit-identical to the unbatched path.
     """
 
     def __init__(self, state, npoints: int, batch_size: int = 16,
                  layout: str = "q16", seed: int = 0, use_colors: bool = True,
                  use_normals: bool = True, pad_multiple: int = 16384,
                  pipeline_depth: int = 2, chunk_size: float = CHUNK_SIZE,
-                 margin: float = CONTEXT_MARGIN, mesh=None):
+                 margin: float = CONTEXT_MARGIN, mesh=None,
+                 group_size: int = 1):
         if mesh is not None and mesh.devices.size == 1:
             mesh = None  # a 1-device mesh IS the single-device path
+        if mesh is not None and group_size > 1:
+            raise ValueError("mesh and group_size are exclusive: the mesh "
+                             "path already groups mesh.size scenes per "
+                             "dispatch (one per device)")
         if mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -655,7 +691,8 @@ class ResidentSceneServer:
             # Params/batch-stats replicated across the serving mesh once.
             state = jax.device_put(state, NamedSharding(mesh, P()))
         self.mesh = mesh
-        self.n_lanes = 1 if mesh is None else int(mesh.devices.size)
+        self.n_lanes = (int(mesh.devices.size) if mesh is not None
+                        else max(1, int(group_size)))
         self.state = state
         self.npoints = npoints
         self.batch_size = batch_size
@@ -764,9 +801,9 @@ class ResidentSceneServer:
         """Pack ``<= n_lanes`` scenes at a COMMON bucket (max over the
         group; the chunker's output is invariant to n_pad/x_cap padding, so
         group bucketing does not change any scene's stitched labels) and
-        upload them as ONE (D, nbytes) buffer sharded scene-per-device."""
+        upload them as ONE (D, nbytes) buffer — sharded scene-per-device
+        on a mesh, or resident on the single device in grouped mode."""
         import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_real = len(group)
         group = list(group) + [group[-1]] * (self.n_lanes - n_real)
@@ -784,9 +821,15 @@ class ResidentSceneServer:
               for b, n in zip(bufs, ns)]
         slack = self.batch_size if self.layout_kind == "q16" else 0
         x = max(xs) + slack
-        dbufs = jax.device_put(
-            bufs, NamedSharding(self.mesh, P("data", None)))
-        dns = jax.device_put(ns, NamedSharding(self.mesh, P("data")))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dbufs = jax.device_put(
+                bufs, NamedSharding(self.mesh, P("data", None)))
+            dns = jax.device_put(ns, NamedSharding(self.mesh, P("data")))
+        else:
+            dbufs = jax.device_put(bufs)
+            dns = jax.device_put(ns)
         return (names, ns, n_real, n_pad, _bucket(x, 4 * self.batch_size),
                 x, dbufs, dns)
 
@@ -795,10 +838,16 @@ class ResidentSceneServer:
         nb = -(-x // self.batch_size)
         pk = (n_pad, x_cap, nb)
         if pk not in self._programs:
-            self._programs[pk] = make_scene_program_mesh(
-                self.state, self._layout(n_pad), x_cap, nb,
-                self.batch_size, self.npoints, self.mesh, self.seed,
-                chunk_size=self.chunk_size, margin=self.margin)
+            if self.mesh is not None:
+                self._programs[pk] = make_scene_program_mesh(
+                    self.state, self._layout(n_pad), x_cap, nb,
+                    self.batch_size, self.npoints, self.mesh, self.seed,
+                    chunk_size=self.chunk_size, margin=self.margin)
+            else:
+                self._programs[pk] = make_scene_program_group(
+                    self.state, self._layout(n_pad), x_cap, nb,
+                    self.batch_size, self.npoints, self.seed,
+                    chunk_size=self.chunk_size, margin=self.margin)
         acc, n_chunks = self._programs[pk](self.state, dbufs, dns)
         try:
             acc.copy_to_host_async()
@@ -825,7 +874,7 @@ class ResidentSceneServer:
     def predict_scene(self, scene: Dict[str, np.ndarray]) -> np.ndarray:
         """points (N,3) [+ colors u8 / normals f32] -> per-vertex labels
         (N,) int32."""
-        if self.mesh is not None:
+        if self.n_lanes > 1:
             return next(self._fetch_group(
                 self._compute_group(self._stage_group([scene]))))[1]
         return self._fetch(self._compute(self._stage(scene)))[1]
@@ -842,7 +891,7 @@ class ResidentSceneServer:
             prefetch,
         )
 
-        if self.mesh is not None:
+        if self.n_lanes > 1:
             def groups():
                 g = []
                 for s in scenes:

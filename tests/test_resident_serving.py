@@ -228,6 +228,24 @@ def test_pipelined_multi_scene():
         assert out[s["scene_name"]].shape == (len(s["points"]),)
 
 
+def test_grouped_serving_bit_identical_to_unbatched():
+    """group_size=3 on ONE device (K scenes per upload/dispatch/fetch — the
+    RTT-amortizing mode for high-latency links) produces exactly the
+    unbatched path's labels, odd scene count included."""
+    npoints = 256
+    state = _tiny_state(npoints)
+    scenes = [_scene(1200 + 250 * i, 60 + i) for i in range(5)]
+    single = dict(ResidentSceneServer(
+        state, npoints, batch_size=4, layout="q16",
+        pad_multiple=4096).predict_scenes(iter(scenes)))
+    grouped = dict(ResidentSceneServer(
+        state, npoints, batch_size=4, layout="q16", pad_multiple=4096,
+        group_size=3).predict_scenes(iter(scenes)))
+    assert set(grouped) == set(single)
+    for name in single:
+        np.testing.assert_array_equal(grouped[name], single[name])
+
+
 @pytest.mark.parametrize("n_dev", [1, 2, 4])
 def test_mesh_serving_bit_identical_to_single_device(n_dev):
     """Scene-per-device mesh serving (VERDICT r4 #4): the shard_map group
