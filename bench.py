@@ -574,11 +574,15 @@ def run_bench(model="sem_seg_features", quick=False):
     extra_median("serving_resident", measure_serving_resident, n,
                  batch_size=b, link_fit=extras.get("link"),
                  inference_pps=extras.get("inference"))
-    # RTT-amortized serving: 4 scenes per upload/dispatch/fetch — pays the
+    # RTT-amortized serving: 2 scenes per upload/dispatch/fetch — pays the
     # tunnel's two per-scene RTTs once per group (eval/resident_serving.py
-    # group mode; bit-identical labels, tested).
+    # group mode; bit-identical labels, tested).  group_size=2 is the
+    # measured optimum on this link: the r5 ladder (docs/artifacts/
+    # serving_group_ladder_r5.log) ran 1.17M/1.42M/1.24M/0.90M verts/s at
+    # K=1/2/4/8 — beyond ~4 MB per transfer the tunnel's effective
+    # bandwidth drops and the bigger groups give the RTT saving back.
     extra_median("serving_resident_grouped", measure_serving_resident, n,
-                 batch_size=b, n_scenes=8, group_size=4,
+                 batch_size=b, n_scenes=8, group_size=2,
                  link_fit=extras.get("link"),
                  inference_pps=extras.get("inference"))
     # Achieved wire rate per link-bound metric (points/sec x bytes/point):
