@@ -5,6 +5,9 @@ from pointcloud_segmentation_attention_tpu.recipes.attention_ablation import (  
 from pointcloud_segmentation_attention_tpu.recipes.context_margin import (  # noqa: F401
     run_context_margin,
 )
+from pointcloud_segmentation_attention_tpu.recipes.feature_ablation import (  # noqa: F401
+    run_feature_ablation,
+)
 from pointcloud_segmentation_attention_tpu.recipes.family_convergence import (  # noqa: F401
     run_attention_convergence,
     run_attention_net_convergence,

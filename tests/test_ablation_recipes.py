@@ -36,6 +36,29 @@ def test_attention_ablation_recipe_smoke(tmp_path):
     assert len(out["ordering_by_offline_miou"]) == 2
 
 
+def test_feature_ablation_recipe_smoke(tmp_path):
+    """Two arms (xyz-only baseline + normals-only features) through the full
+    Table 3 harness: shared dual-signal corpus, per-arm feature flags in the
+    trainer AND the stitched serving eval, ordering + reference numbers."""
+    from pointcloud_segmentation_attention_tpu.recipes import (
+        run_feature_ablation,
+    )
+
+    out = run_feature_ablation(
+        str(tmp_path), n_train_scenes=6, n_val_scenes=1, scene_points=4000,
+        n_points=128, batch_size=2, max_steps=3, n_devices=2,
+        arms=("baseline", "normals"), model_overrides=TINY,
+    )
+    assert set(out["arms"]) == {"baseline", "normals"}
+    for arm, r in out["arms"].items():
+        assert np.isfinite(r["final_train_loss"]), (arm, r)
+        assert 0.0 <= r["offline_mean_iou"] <= 1.0
+    assert out["arms"]["normals"]["use_normals"] is True
+    assert out["arms"]["normals"]["use_colors"] is False
+    assert out["arms"]["normals"]["reference_val_miou"] == 0.509
+    assert out["reference_ordering"][0] == "both"
+
+
 def test_context_margin_recipe_smoke(tmp_path):
     """Train once, stitch-eval at margin 0 and 0.2 — both evals complete and
     the output carries the delta + the reference Table 4 numbers."""
