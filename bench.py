@@ -165,6 +165,12 @@ def measure_link():
 
     rows = h2d_bench.sweep(sizes_mb=(0.25, 1.0, 4.0), iters=4)
     fit = h2d_bench.fit_latency_bandwidth(rows)
+    if fit.get("degenerate"):
+        # One stalled window flipped the slope (see fit_latency_bandwidth);
+        # a single re-sweep normally lands a sane fit — keep the retry's
+        # result either way (its bounds beat the first sweep's).
+        fit = h2d_bench.fit_latency_bandwidth(
+            h2d_bench.sweep(sizes_mb=(0.25, 1.0, 4.0), iters=4))
     fit["degraded"] = bool(
         fit["latency_ms"] > 2 * 82.0 or fit["bandwidth_mb_per_s"] < 21.0 / 2
     )

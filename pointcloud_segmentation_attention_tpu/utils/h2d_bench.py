@@ -56,14 +56,29 @@ def sweep(sizes_mb=(0.0625, 0.25, 1.0, 4.0, 8.0, 16.0), iters=8) -> List[Dict]:
 
 
 def fit_latency_bandwidth(rows: List[Dict]) -> Dict:
-    """Least-squares time = latency + bytes/bw over the sweep."""
+    """Least-squares time = latency + bytes/bw over the sweep.
+
+    Tunnel noise can flip the slope of a short sweep (one stalled window on
+    a small payload makes bigger transfers look faster per byte), which
+    would read as infinite bandwidth and a latency equal to the mean sample
+    — and anything derived from the fit (``*_expected_from_link``) becomes
+    nonsense.  A non-positive slope therefore falls back to per-row BOUNDS
+    (latency = fastest observed transfer, bandwidth = best achieved rate)
+    and flags the fit ``degenerate`` so callers can re-sweep."""
     x = np.array([r["mb"] for r in rows])
     y = np.array([r["ms"] for r in rows]) / 1e3
     a = np.vstack([np.ones_like(x), x * 2**20]).T
     (lat, inv_bw), *_ = np.linalg.lstsq(a, y, rcond=None)
-    bw = 1.0 / inv_bw if inv_bw > 0 else float("inf")
-    return {"latency_ms": round(float(lat) * 1e3, 3),
-            "bandwidth_mb_per_s": round(float(bw) / 2**20, 1)}
+    if inv_bw <= 0:
+        return {"latency_ms": round(min(r["ms"] for r in rows), 3),
+                "bandwidth_mb_per_s": round(
+                    max(r["mb_per_s"] for r in rows), 1),
+                "degenerate": True}
+    # A slightly negative intercept (noise around a real slope) clamps to 0
+    # rather than predicting negative transfer times.
+    lat = max(float(lat), 0.0)
+    return {"latency_ms": round(lat * 1e3, 3),
+            "bandwidth_mb_per_s": round(1.0 / float(inv_bw) / 2**20, 1)}
 
 
 def overlap(payload_mb=4.0, compute_ms_target=20.0, iters=20) -> Dict:

@@ -26,6 +26,32 @@ def test_h2d_fit_recovers_latency_and_bandwidth():
     assert abs(fit["bandwidth_mb_per_s"] - bw_mb_s) < 1.0
 
 
+def test_h2d_fit_degenerate_slope_falls_back_to_bounds():
+    """A stalled small-payload window can make time DECREASE with size; the
+    fit must not report infinite bandwidth / bogus latency (which poisoned
+    one bench record's *_expected_from_link fields) — it falls back to
+    per-row bounds and flags itself."""
+    rows = [{"mb": 0.25, "ms": 300.0, "mb_per_s": 0.8},
+            {"mb": 1.0, "ms": 60.0, "mb_per_s": 16.7},
+            {"mb": 4.0, "ms": 140.0, "mb_per_s": 28.6}]
+    fit = fit_latency_bandwidth(rows)
+    assert fit["degenerate"] is True
+    assert np.isfinite(fit["bandwidth_mb_per_s"])
+    assert fit["bandwidth_mb_per_s"] == 28.6   # best achieved rate
+    assert fit["latency_ms"] == 60.0           # fastest observed transfer
+
+
+def test_h2d_fit_clamps_negative_intercept():
+    """Noise around a real slope can push the intercept slightly negative;
+    the fit clamps to zero instead of predicting negative transfer times."""
+    rows = [{"mb": mb, "ms": -2.0 + mb / 40.0 * 1e3, "mb_per_s": 40.0}
+            for mb in (1.0, 4.0, 16.0)]
+    fit = fit_latency_bandwidth(rows)
+    assert "degenerate" not in fit
+    assert fit["latency_ms"] == 0.0
+    assert abs(fit["bandwidth_mb_per_s"] - 40.0) < 1.0
+
+
 def test_trace_bucketing():
     assert bucket_of("fusion.12") == "fusion"
     assert bucket_of("copy.181") == "copy"
