@@ -378,7 +378,9 @@ def measure_serving_resident(n=8192, batch_size=16, n_scenes=4,
         # RPCs, docs/performance.md): upload RTT + wire, program compute
         # (predict dominates; chunker+stitch ~25 ms lumped into the slot
         # rate), fetch RTT + wire.  n_pad padding is uploaded too.
-        n_pad = -(-scene_points // 16384) * 16384
+        # The server's own bucketing, not a re-derived constant (drift in
+        # pad_multiple would silently skew the expected-rate model).
+        n_pad = server._n_pad(scene_points)
         lat = link_fit["latency_ms"] / 1e3
         bw = link_fit["bandwidth_mb_per_s"] * 2**20
         t_scene = (2 * lat / max(1, group_size)
@@ -556,8 +558,6 @@ def run_bench(model="sem_seg_features", quick=False):
         if len(out) > 2 and isinstance(out[2], dict):
             for k, v in out[2].items():
                 extras[f"{key}_{k}"] = v
-        elif len(out) > 2 and out[2] is not None:
-            extras[f"{key}_slots_per_sec"] = out[2]
 
     # Link weather, measured before and after the link-bound extras: a
     # degraded tunnel hour is then visible IN the record instead of

@@ -43,6 +43,28 @@ OCCUPANCY_GRID = (31, 31, 62)  # validity voxel grid (ref :127)
 MAX_TRIES = 10                 # retry budget (ref :139-141)
 
 
+def check_grid_geometry(chunk_size: float, margin: float) -> None:
+    """Validate the grid-chunker geometry knob.
+
+    Every grid chunker (host, native C++, and the device twin in
+    eval/resident_serving.py) enumerates only the 2x2 cell neighborhood of
+    a point's margin-shifted cell, which covers all memberships iff
+    ``2*margin <= chunk_size``.  A larger margin would need a wider
+    neighborhood; without this check it would silently DROP the
+    further-away context members (home coverage stays exact, so nothing
+    else errors) and quietly corrupt a margin-ablation result."""
+    if not (chunk_size > 0):
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if margin < 0:
+        raise ValueError(f"context margin must be >= 0, got {margin}")
+    if 2.0 * margin > chunk_size:
+        raise ValueError(
+            f"context margin {margin} too large for chunk_size "
+            f"{chunk_size}: the grid chunkers enumerate a 2x2 cell "
+            "neighborhood, which requires 2*margin <= chunk_size"
+        )
+
+
 def _points_in_box(xy: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return ((xy >= lo) & (xy <= hi)).all(axis=1)
 
@@ -144,6 +166,7 @@ def full_scene_chunks(
     ``features[0]`` must be the per-point labels when
     ``get_sample_weights=True`` (weights = weight_table[label] x mask).
     """
+    check_grid_geometry(chunk_size, margin)
     if weight_table is None:
         weight_table = TRAIN_LABEL_WEIGHTS
     from pointcloud_segmentation_attention_tpu import native

@@ -39,7 +39,7 @@ from typing import Dict, Iterator, Optional, Sequence, Tuple
 import numpy as np
 
 from pointcloud_segmentation_attention_tpu.data.scannet.chunks import (
-    CHUNK_SIZE, CONTEXT_MARGIN, ChunkSet,
+    CHUNK_SIZE, CONTEXT_MARGIN, ChunkSet, check_grid_geometry,
 )
 
 _HASH_MULT = np.uint32(2654435761)      # Knuth multiplicative
@@ -112,6 +112,7 @@ def chunk_count(points: np.ndarray, npoints: int,
     metadata (bincounts, no permutation) so the serving loop knows how many
     predict steps to launch WITHOUT a device->host sync on the on-device
     chunker's output."""
+    check_grid_geometry(chunk_size, margin)
     mn, ncx, ncy = _grid_dims(points[:, :2].astype(np.float32), chunk_size)
     cell_id, member, home_id = _memberships_np(
         points[:, :2].astype(np.float32), mn, ncx, ncy, chunk_size, margin)
@@ -135,6 +136,7 @@ def deterministic_scene_chunks(
     deterministic hash order and modulo tail fill — chunk composition is
     bit-identical to ``make_scene_chunker``'s, so host-path predictions on
     these chunks equal the resident device path's."""
+    check_grid_geometry(chunk_size, margin)
     xy = points[:, :2].astype(np.float32)
     mn, ncx, ncy = _grid_dims(xy, chunk_size)
     cell_id, member, home_id = _memberships_np(xy, mn, ncx, ncy,
@@ -678,12 +680,19 @@ class ResidentSceneServer:
                  pipeline_depth: int = 2, chunk_size: float = CHUNK_SIZE,
                  margin: float = CONTEXT_MARGIN, mesh=None,
                  group_size: int = 1):
+        check_grid_geometry(chunk_size, margin)
         if mesh is not None and mesh.devices.size == 1:
             mesh = None  # a 1-device mesh IS the single-device path
         if mesh is not None and group_size > 1:
             raise ValueError("mesh and group_size are exclusive: the mesh "
                              "path already groups mesh.size scenes per "
                              "dispatch (one per device)")
+        if mesh is not None and len(mesh.axis_names) != 1:
+            raise ValueError(
+                "serving mesh must be 1-D (scene-per-device); got axes "
+                f"{mesh.axis_names} — serving shards SCENES, so build a "
+                "dedicated 1-D mesh over the serving devices")
+        self._axis = mesh.axis_names[0] if mesh is not None else None
         if mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -806,27 +815,33 @@ class ResidentSceneServer:
         import jax
 
         n_real = len(group)
-        group = list(group) + [group[-1]] * (self.n_lanes - n_real)
         names = [s.get("scene_name") for s in group]
         pts = [np.asarray(s["points"], np.float32) for s in group]
-        ns = np.array([len(p) for p in pts], np.int32)
-        n_pad = self._n_pad(int(ns.max()))
+        ns_real = [len(p) for p in pts]
+        n_pad = self._n_pad(max(ns_real))
         layout = self._layout(n_pad)
-        bufs = np.stack([
+        packed = [
             layout.pack(p, s.get("colors") if self.use_colors else None,
                         s.get("normals") if self.use_normals else None)
-            for p, s in zip(pts, group)])
+            for p, s in zip(pts, group)]
         xs = [chunk_count(layout.decode_host(b)["points"][:n], self.npoints,
                           self.chunk_size, self.margin)
-              for b, n in zip(bufs, ns)]
+              for b, n in zip(packed, ns_real)]
+        # Short groups pad by REPLICATING the last scene's already-packed
+        # buffer (padding the scene list before packing would re-pack and
+        # re-chunk_count the same scene once per idle lane — an O(N) host
+        # cost multiplied by the lane count on every tail group).
+        n_fill = self.n_lanes - n_real
+        bufs = np.stack(packed + [packed[-1]] * n_fill)
+        ns = np.array(ns_real + [ns_real[-1]] * n_fill, np.int32)
         slack = self.batch_size if self.layout_kind == "q16" else 0
         x = max(xs) + slack
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             dbufs = jax.device_put(
-                bufs, NamedSharding(self.mesh, P("data", None)))
-            dns = jax.device_put(ns, NamedSharding(self.mesh, P("data")))
+                bufs, NamedSharding(self.mesh, P(self._axis, None)))
+            dns = jax.device_put(ns, NamedSharding(self.mesh, P(self._axis)))
         else:
             dbufs = jax.device_put(bufs)
             dns = jax.device_put(ns)
@@ -842,7 +857,8 @@ class ResidentSceneServer:
                 self._programs[pk] = make_scene_program_mesh(
                     self.state, self._layout(n_pad), x_cap, nb,
                     self.batch_size, self.npoints, self.mesh, self.seed,
-                    chunk_size=self.chunk_size, margin=self.margin)
+                    chunk_size=self.chunk_size, margin=self.margin,
+                    axis_name=self._axis)
             else:
                 self._programs[pk] = make_scene_program_group(
                     self.state, self._layout(n_pad), x_cap, nb,

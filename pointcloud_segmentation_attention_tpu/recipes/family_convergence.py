@@ -227,7 +227,8 @@ def run_v1_scannet_convergence(
     # trains on points alone), so blob labels must be geometry-predictable
     # for held-out mIoU to demonstrate learning.
     data_root = os.path.join(
-        workdir, f"scannet_v1g_{n_train_scenes}_{scene_points}_{seed}")
+        workdir,
+        f"scannet_v1g_{n_train_scenes}_{n_val_scenes}_{scene_points}_{seed}")
     if not _cache_complete(data_root):
         write_synthetic_dataset(
             data_root, n_train=n_train_scenes, n_val=n_val_scenes,
@@ -270,7 +271,9 @@ def run_attention_net_convergence(
     from pointcloud_segmentation_attention_tpu.utils.config import TrainConfig
 
     data_root = os.path.join(
-        workdir, f"scannet_attnet_{n_train_scenes}_{scene_points}_{seed}")
+        workdir,
+        f"scannet_attnet_{n_train_scenes}_{n_val_scenes}_{scene_points}"
+        f"_{seed}")
     if not _cache_complete(data_root):
         write_synthetic_dataset(
             data_root, n_train=n_train_scenes, n_val=n_val_scenes,

@@ -153,6 +153,16 @@ class ResidentScenes:
                  budget_mb: Optional[float] = None):
         import jax
 
+        if not scenes:
+            # Happens on a multi-host run whose process got an empty
+            # host_shard slice (more processes than train scenes) — fail
+            # with the cause instead of a zero-size numpy reduction while
+            # the other hosts hang at their first collective.
+            raise ValueError(
+                "ResidentScenes got an empty scene list — with "
+                "input='sampler' every process needs at least one train "
+                "scene after per-host sharding (fewer scenes than "
+                "jax.process_count()?)")
         lengths = np.array([len(s["points"]) for s in scenes], np.int32)
         if budget_mb is not None:
             need = self.estimate_bytes(lengths, use_colors, use_normals)

@@ -96,12 +96,18 @@ def resolve_input_mode(config: TrainConfig) -> str:
 
 
 def _onfly_val_chunks(data_root: str, val_scenes, n_points: int, seed=0,
-                      chunk_size: float = 1.5, margin: float = 0.2):
+                      chunk_size: Optional[float] = None,
+                      margin: Optional[float] = None):
     """Full-coverage val chunks cut on the fly from RAW scenes — the val
-    path of the zero-precompute sampler mode (no precompute dir exists)."""
+    path of the zero-precompute sampler mode (no precompute dir exists).
+    Geometry defaults come from the canonical chunks.CHUNK_SIZE /
+    CONTEXT_MARGIN (not re-declared literals, which would drift)."""
     from pointcloud_segmentation_attention_tpu.data.scannet.chunks import (
-        grid_chunks_for_eval,
+        CHUNK_SIZE, CONTEXT_MARGIN, grid_chunks_for_eval,
     )
+
+    chunk_size = CHUNK_SIZE if chunk_size is None else chunk_size
+    margin = CONTEXT_MARGIN if margin is None else margin
     from pointcloud_segmentation_attention_tpu.data.scannet.scenes import (
         load_scene_mapped,
     )

@@ -290,3 +290,16 @@ def test_sampler_geometry_knob():
         np.testing.assert_allclose(hi[b] - lo[b], 1.0, rtol=1e-5)
         assert (pts[b, :, :2] >= lo[b] - 1e-5).all()
         assert (pts[b, :, :2] <= hi[b] + 1e-5).all()
+
+
+def test_resident_scenes_empty_list_fails_fast():
+    """An empty per-host scene shard (more processes than train scenes)
+    raises a causal error instead of a zero-size numpy reduction."""
+    import pytest
+
+    from pointcloud_segmentation_attention_tpu.train.device_sampler import (
+        ResidentScenes,
+    )
+
+    with pytest.raises(ValueError, match="empty scene list"):
+        ResidentScenes([])

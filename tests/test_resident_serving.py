@@ -268,3 +268,53 @@ def test_mesh_serving_bit_identical_to_single_device(n_dev):
     assert set(served) == set(single)
     for name in single:
         np.testing.assert_array_equal(served[name], single[name])
+
+
+def test_grid_geometry_guard_rejects_oversize_margin():
+    """The grid chunkers enumerate a 2x2 cell neighborhood, valid only for
+    2*margin <= chunk_size; a larger margin used to silently DROP context
+    members (home coverage stays exact, so nothing errored) — every entry
+    point now rejects it loudly."""
+    sc = _scene(500, 9)
+    with pytest.raises(ValueError, match="2\\*margin"):
+        chunk_count(sc["points"], 128, chunk_size=1.5, margin=0.8)
+    with pytest.raises(ValueError, match="2\\*margin"):
+        deterministic_scene_chunks(sc["points"], [sc["labels"]], 128,
+                                   chunk_size=1.5, margin=0.8)
+    with pytest.raises(ValueError, match="2\\*margin"):
+        full_scene_chunks(sc["points"], [sc["labels"]], False, 128,
+                          np.random.RandomState(0), chunk_size=1.5,
+                          margin=0.8)
+    with pytest.raises(ValueError, match="2\\*margin"):
+        ResidentSceneServer(_tiny_state(128), 128, batch_size=2,
+                            chunk_size=1.5, margin=0.76)
+    # The boundary case (exactly 2*margin == chunk_size) is valid.
+    assert chunk_count(sc["points"], 128, chunk_size=1.5, margin=0.75) > 0
+
+
+def test_mesh_serving_custom_axis_name_and_2d_rejection():
+    """The mesh path derives the scene axis from the mesh instead of
+    hardcoding 'data'; a 2-D mesh (scene sharding is 1-D by construction)
+    is rejected at __init__ instead of failing at fetch time."""
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    npoints = 256
+    state = _tiny_state(npoints)
+    scenes = [_scene(900 + 100 * i, 70 + i) for i in range(3)]
+    single = dict(ResidentSceneServer(
+        state, npoints, batch_size=4, layout="q16",
+        pad_multiple=4096).predict_scenes(iter(scenes)))
+    mesh = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    served = dict(ResidentSceneServer(
+        state, npoints, batch_size=4, layout="q16", pad_multiple=4096,
+        mesh=mesh).predict_scenes(iter(scenes)))
+    for name in single:
+        np.testing.assert_array_equal(served[name], single[name])
+
+    if len(jax.devices()) >= 4:
+        mesh2 = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                     ("data", "model"))
+        with pytest.raises(ValueError, match="1-D"):
+            ResidentSceneServer(state, npoints, batch_size=4, mesh=mesh2)
